@@ -1,0 +1,22 @@
+"""DR-SLAM-TPU: a TPU-native (JAX/XLA/Pallas) RGB-D Manhattan-world SLAM framework.
+
+A from-scratch rebuild of the capabilities of WangWen-Believer/DR-SLAM
+(reference: /root/reference, C++/ORB-SLAM2 lineage) designed TPU-first:
+
+- The per-frame front-end (ORB points, line segments, plane segmentation,
+  surface normals) is a fused set of XLA/Pallas device programs over the
+  frame tensors (reference: src/Frame.cc:124-134 runs 4 CPU threads).
+- Manhattan-frame drift-free rotation tracking (reference:
+  src/Tracking.cc:1336-1527) is a pure tensor op: cone masking + tangent
+  projection + Gaussian mean shift, vmapped over the three axes.
+- The g2o Levenberg-Marquardt back-end (reference: src/Optimizer.cc) becomes
+  batched dense LM solves with point/line/plane residuals and a matrix-free
+  PCG bundle adjustment that shards over a jax.sharding.Mesh.
+- The map (reference: pointer graphs in src/Map.cc) is a functional pytree of
+  fixed-capacity arrays with validity masks, advanced by jitted steps from a
+  single-writer host orchestrator -- no mutexes.
+- DBoW2 place recognition (reference: Thirdparty/DBoW2) becomes a device
+  vocabulary: descriptor->word assignment and BoW scoring as MXU matmuls.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,239 @@
+"""Configuration system.
+
+Replaces the reference's two YAML mechanisms -- the eager loads in the
+Tracking ctor (src/Tracking.cc:50-161) and the lazy Config::Get<T> singleton
+(include/Config.h:17-24) -- with one typed, immutable config object that
+accepts the SAME key names as the reference YAMLs (Examples/RGB-D/TUM3.yaml):
+Camera.*, ORBextractor.*, Plane.*, Viewer.*, SavePath.*, plus DR-SLAM-TPU
+specific capacity settings (all static so everything jit-compiles once).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    fx: float = 535.4
+    fy: float = 539.2
+    cx: float = 320.1
+    cy: float = 247.6
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    bf: float = 40.0          # baseline * fx (reference Camera.bf)
+    depth_factor: float = 5000.0  # DepthMapFactor (TUM 16U -> meters)
+    th_depth: float = 40.0    # ThDepth: close/far point threshold in b units
+    rgb: int = 1
+
+    @property
+    def K4(self):
+        return (self.fx, self.fy, self.cx, self.cy)
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx
+
+
+@dataclasses.dataclass(frozen=True)
+class ORBConfig:
+    n_features: int = 1000       # ORBextractor.nFeatures (TUM3.yaml:40)
+    scale_factor: float = 1.2    # ORBextractor.scaleFactor
+    n_levels: int = 8            # ORBextractor.nLevels
+    ini_th_fast: int = 20        # ORBextractor.iniThFAST
+    min_th_fast: int = 7         # ORBextractor.minThFAST
+    # TPU-side static capacity (>= n_features, power-of-two padded).
+    max_keypoints: int = 1024
+    cell_size: int = 16          # grid cell for spatially-uniform selection
+    patch_size: int = 31
+    half_patch: int = 15
+
+
+@dataclasses.dataclass(frozen=True)
+class LineConfig:
+    max_lines: int = 64          # reference keeps top-40 (LSDextractor.cpp:19)
+    keep_top: int = 40
+    min_length: float = 25.0     # pixels
+    grad_threshold: float = 20.0
+    n_samples: int = 32          # depth samples along segment for 3D fit
+    ransac_iters: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneConfig:
+    # Reference Plane.* namespace (TUM3.yaml:79-98, read via Config::Get).
+    association_ang_ref: float = 0.985     # cos 10deg  Plane.AssociationAngRef
+    association_dis_ref: float = 0.05      # meters     Plane.AssociationDisRef
+    vertical_threshold: float = 0.0871     # cos 85deg  Plane.VerticalThreshold
+    parallel_threshold: float = 0.9962     # cos 5deg   Plane.ParallelThreshold
+    angle_info: float = 0.5                # Plane.AngleInfo
+    distance_info: float = 50.0            # Plane.DistanceInfo
+    chi2: float = 100.0                    # Plane.Chi2
+    vp_chi2: float = 50.0                  # Plane.VPChi2 (par/ver edges)
+    max_point_dist: float = 0.1            # MaxPointDistanceFromPlane gate
+    # TPU plane segmentation (PEAC/AHC-equivalent, tile-PCA).
+    block: int = 8                 # pixels per tile side
+    max_planes: int = 8            # planes kept per frame
+    min_blocks: int = 10           # min member tiles (>=100 pts, Frame.cc:993)
+    merge_angle_cos: float = 0.985
+    merge_dist: float = 0.05
+    mse_factor: float = 2.5e-3     # planarity MSE gate: (factor * z^2)^2
+    max_depth: float = 5.0         # cap like PlaneExtractor.cpp:44
+    cloud_points: int = 256        # stored per-plane sample cloud size
+
+
+@dataclasses.dataclass(frozen=True)
+class ManhattanConfig:
+    cone_angle_normals: float = 0.2018   # rad (Tracking.cc:1234)
+    cone_angle_lines: float = 0.1018     # rad (Tracking.cc:1260)
+    mean_shift_kernel: float = 20.0      # exp(-20 ||x||^2) (Tracking.cc:1529)
+    min_sn_ratio: float = 0.05           # minNumOfSN = |normals|/20
+    n_iterations: int = 3                # fixed-point calls per frame
+    converge_tol: float = 1e-3           # early-exit rotation delta (rad)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    max_points: int = 32768
+    max_lines: int = 4096
+    max_planes: int = 128
+    max_keyframes: int = 512
+    max_kf_planes: int = 16    # plane observations per keyframe
+    vocab_words: int = 4096    # device BoW vocabulary size
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    min_frames: int = 10        # mMinFrames (Tracking.cc:93)
+    max_frames: int = 30        # mMaxFrames = fps (Tracking.cc:94)
+    motion_search_radius: float = 15.0
+    reloc_search_radius: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ViewerConfig:
+    use_viewer: bool = False
+    keyframe_size: float = 0.05
+    point_size: float = 2.0
+    camera_size: float = 0.08
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    orb: ORBConfig = dataclasses.field(default_factory=ORBConfig)
+    line: LineConfig = dataclasses.field(default_factory=LineConfig)
+    plane: PlaneConfig = dataclasses.field(default_factory=PlaneConfig)
+    manhattan: ManhattanConfig = dataclasses.field(default_factory=ManhattanConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
+    viewer: ViewerConfig = dataclasses.field(default_factory=ViewerConfig)
+    save_path: str = "./output"
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Mapping from reference YAML keys (Examples/RGB-D/*.yaml) to config fields.
+_YAML_MAP: Mapping[str, tuple] = {
+    "Camera.fx": ("camera", "fx", float),
+    "Camera.fy": ("camera", "fy", float),
+    "Camera.cx": ("camera", "cx", float),
+    "Camera.cy": ("camera", "cy", float),
+    "Camera.k1": ("camera", "k1", float),
+    "Camera.k2": ("camera", "k2", float),
+    "Camera.p1": ("camera", "p1", float),
+    "Camera.p2": ("camera", "p2", float),
+    "Camera.k3": ("camera", "k3", float),
+    "Camera.width": ("camera", "width", int),
+    "Camera.height": ("camera", "height", int),
+    "Camera.fps": ("camera", "fps", float),
+    "Camera.bf": ("camera", "bf", float),
+    "Camera.RGB": ("camera", "rgb", int),
+    "ThDepth": ("camera", "th_depth", float),
+    "DepthMapFactor": ("camera", "depth_factor", float),
+    "ORBextractor.nFeatures": ("orb", "n_features", int),
+    "ORBextractor.scaleFactor": ("orb", "scale_factor", float),
+    "ORBextractor.nLevels": ("orb", "n_levels", int),
+    "ORBextractor.iniThFAST": ("orb", "ini_th_fast", int),
+    "ORBextractor.minThFAST": ("orb", "min_th_fast", int),
+    "Plane.AssociationAngRef": ("plane", "association_ang_ref", float),
+    "Plane.AssociationDisRef": ("plane", "association_dis_ref", float),
+    "Plane.VerticalThreshold": ("plane", "vertical_threshold", float),
+    "Plane.ParallelThreshold": ("plane", "parallel_threshold", float),
+    "Plane.AngleInfo": ("plane", "angle_info", float),
+    "Plane.DistanceInfo": ("plane", "distance_info", float),
+    "Plane.Chi2": ("plane", "chi2", float),
+    "Plane.VPChi2": ("plane", "vp_chi2", float),
+    "Plane.MFVerticalThreshold": ("plane", "vertical_threshold", float),
+    "Viewer.KeyFrameSize": ("viewer", "keyframe_size", float),
+    "Viewer.PointSize": ("viewer", "point_size", float),
+    "Viewer.CameraSize": ("viewer", "camera_size", float),
+}
+
+
+def load_config(path_or_dict: Any = None, **overrides) -> SlamConfig:
+    """Build a SlamConfig, optionally from a reference-style YAML file.
+
+    Accepts the exact key names of the reference YAMLs (TUM3.yaml etc.), which
+    may start with the OpenCV ``%YAML:1.0`` directive line."""
+    cfg = SlamConfig()
+    if path_or_dict is None:
+        data = {}
+    elif isinstance(path_or_dict, Mapping):
+        data = dict(path_or_dict)
+    else:
+        with open(path_or_dict) as f:
+            text = f.read()
+        if text.startswith("%YAML"):
+            text = text.split("\n", 1)[1]
+        data = yaml.safe_load(text) or {}
+
+    groups: dict[str, dict] = {}
+    for key, value in data.items():
+        if key in _YAML_MAP:
+            group, field, cast = _YAML_MAP[key]
+            groups.setdefault(group, {})[field] = cast(value)
+        elif key == "SavePath.path":
+            cfg = cfg.replace(save_path=str(value))
+    for group, fields in groups.items():
+        cfg = cfg.replace(**{group: dataclasses.replace(getattr(cfg, group), **fields)})
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg
+
+
+def tum_freiburg3() -> SlamConfig:
+    """Preset matching Examples/RGB-D/TUM3.yaml."""
+    return load_config({
+        "Camera.fx": 535.4, "Camera.fy": 539.2,
+        "Camera.cx": 320.1, "Camera.cy": 247.6,
+        "Camera.width": 640, "Camera.height": 480,
+        "Camera.fps": 30.0, "Camera.bf": 40.0,
+        "DepthMapFactor": 5000.0,
+        "ORBextractor.nFeatures": 1000,
+        "ORBextractor.scaleFactor": 1.2,
+        "ORBextractor.nLevels": 8,
+        "ORBextractor.iniThFAST": 20,
+        "ORBextractor.minThFAST": 7,
+    })
+
+
+def icl_nuim() -> SlamConfig:
+    """Preset matching Examples/RGB-D/ICL.yaml camera model."""
+    return load_config({
+        "Camera.fx": 481.2, "Camera.fy": 480.0,
+        "Camera.cx": 319.5, "Camera.cy": 239.5,
+        "Camera.width": 640, "Camera.height": 480,
+        "Camera.fps": 30.0, "Camera.bf": 40.0,
+        "DepthMapFactor": 5000.0,
+    })
