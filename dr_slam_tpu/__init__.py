@@ -20,3 +20,25 @@ A from-scratch rebuild of the capabilities of WangWen-Believer/DR-SLAM
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist XLA compilations to disk; the front-end/track jits are large
+    (minutes to compile cold) and identical across runs."""
+    import jax
+
+    cache_dir = path or _os.environ.get(
+        "DR_SLAM_TPU_CACHE", _os.path.join(_os.path.dirname(__file__), "..",
+                                           ".jax_cache"))
+    _os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: cache is an optimization only
+
+
+if _os.environ.get("DR_SLAM_TPU_DISABLE_CACHE", "0") != "1":
+    enable_compilation_cache()

@@ -117,6 +117,14 @@ class TrackingConfig:
     max_frames: int = 30        # mMaxFrames = fps (Tracking.cc:94)
     motion_search_radius: float = 15.0
     reloc_search_radius: float = 10.0
+    # Use matched map lines as pose-optimization edges. The cell-grid line
+    # detector's 2D line equations carry a few px of bias and parallel-edge
+    # aliasing (a band's two edges) can pull the pose laterally; keep lines
+    # in the map/matching but out of the per-frame solve by default.
+    use_lines_in_pose: bool = False
+    use_ref_kf_anchor: bool = False   # brute-force matches alias on repetitive texture
+    run_ba_on_keyframe: bool = True
+    run_cull_on_keyframe: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,99 @@
+"""Per-frame front-end: one fused device program.
+
+The reference Frame constructor (src/Frame.cc:74-216) spawns 4 CPU threads --
+ExtractORB / ExtractLSD / ComputePlanes / ExtractObject -- then undistorts,
+computes the depth->disparity stereo proxy (ComputeStereoFromRGBD,
+Frame.cc:893) and bins features into a 64x48 grid. Here the whole front-end
+is ONE jitted function over the frame tensors: XLA schedules the ORB pyramid,
+normal field and plane segmentation together (the TPU-native version of the
+4-thread fan-out, SURVEY.md section 2.8), and fixed-capacity outputs keep every
+downstream consumer shape-stable.
+
+Depth sampling at keypoints mirrors ComputeStereoFromRGBD: uR = u - bf/z for
+pixels with valid depth, uR = -1 otherwise."""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dr_slam_tpu.config import SlamConfig
+from dr_slam_tpu.ops import lines as line_ops
+from dr_slam_tpu.ops import normals as normal_ops
+from dr_slam_tpu.ops import orb as orb_ops
+from dr_slam_tpu.ops import planes as plane_ops
+
+
+class FrameFeatures(NamedTuple):
+    kp: orb_ops.Keypoints          # fixed-capacity ORB keypoints
+    kp_depth: jnp.ndarray          # (K,) depth in meters (0 = invalid)
+    kp_ur: jnp.ndarray             # (K,) stereo right coord (-1 = mono)
+    kp_xyz: jnp.ndarray            # (K, 3) camera-frame backprojection
+    normals: jnp.ndarray           # (Nn, 3) surface-normal field
+    normals_valid: jnp.ndarray     # (Nn,)
+    planes: plane_ops.PlaneSegmentation
+    lines: "line_ops.LineFeatures"
+
+
+def _sample_depth(depth: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Depth at keypoints; nearest pixel, with a 3x3 min-positive fallback
+    so keypoints on depth edges still get a value."""
+    h, w = depth.shape
+    x = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 1, w - 2)
+    y = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 1, h - 2)
+    center = depth[y, x]
+    best = jnp.full_like(center, jnp.inf)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            v = depth[y + dy, x + dx]
+            best = jnp.where((v > 1e-3) & (v < best), v, best)
+    d = jnp.where(center > 1e-3, center, jnp.where(jnp.isfinite(best), best, 0.0))
+    return d
+
+
+def extract_frame(gray: jnp.ndarray, depth: jnp.ndarray,
+                  cfg: SlamConfig) -> FrameFeatures:
+    """gray (H, W) [0,255] float32, depth (H, W) meters -> FrameFeatures."""
+    return _extract_frame(gray, depth, cfg.camera, cfg.orb, cfg.plane,
+                          cfg.line)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "orb", "plane", "line"))
+def _extract_frame(gray, depth, cam, orb, plane, line) -> FrameFeatures:
+    K4 = cam.K4
+    kp = orb_ops.extract_orb(
+        gray, n_features=orb.n_features, n_levels=orb.n_levels,
+        scale=orb.scale_factor, max_keypoints=orb.max_keypoints,
+        cell=orb.cell_size, ini_th=float(orb.ini_th_fast),
+        min_th=float(orb.min_th_fast))
+    d = _sample_depth(depth, kp.uv)
+    ur = jnp.where(d > 1e-3, kp.uv[:, 0] - cam.bf / jnp.maximum(d, 1e-6), -1.0)
+    fx, fy, cx, cy = K4
+    xyz = jnp.stack([(kp.uv[:, 0] - cx) / fx * d,
+                     (kp.uv[:, 1] - cy) / fy * d,
+                     d], -1)
+
+    nrm, nrm_ok = normal_ops.surface_normals(depth, K4)
+    seg = plane_ops.segment_planes(
+        depth, K4, block=plane.block, max_planes=plane.max_planes,
+        min_blocks=plane.min_blocks,
+        merge_angle_cos=plane.merge_angle_cos,
+        merge_dist=plane.merge_dist, mse_factor=plane.mse_factor,
+        max_depth=plane.max_depth, cloud_points=plane.cloud_points)
+    # sanity gate: reject planes whose refit cloud strays too far
+    maxd = plane_ops.max_point_distance_from_plane(seg.coeffs, seg.cloud,
+                                                   seg.cloud_valid)
+    seg = seg._replace(valid=seg.valid & (maxd < plane.max_point_dist))
+
+    lf = line_ops.extract_lines(
+        gray, depth, K4, max_lines=line.max_lines,
+        grad_threshold=line.grad_threshold,
+        min_length=line.min_length, n_samples=line.n_samples)
+
+    return FrameFeatures(kp=kp, kp_depth=d, kp_ur=ur, kp_xyz=xyz,
+                         normals=nrm.reshape(-1, 3),
+                         normals_valid=nrm_ok.reshape(-1),
+                         planes=seg, lines=lf)

@@ -160,15 +160,33 @@ def rot_to_quat(R):
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
-def orthonormalize_rotation(M):
-    """Project a near-rotation onto SO(3) via SVD (reference: Map.cc:393-399,
-    Tracking.cc:1513-1518 use cv::SVD the same way)."""
-    U, _, Vt = jnp.linalg.svd(M)
-    R = U @ Vt
-    # Fix improper rotations (det = -1).
-    det = jnp.linalg.det(R)
-    U = U.at[..., :, 2].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
-    return U @ Vt
+def orthonormalize_rotation(M, n_iters: int = 6):
+    """Project a near-rotation onto SO(3) (reference: Map.cc:393-399,
+    Tracking.cc:1513-1518 use cv::SVD for this). Here: Newton iteration for
+    the polar decomposition, X <- (X + X^-T)/2, which converges quadratically
+    to the same orthogonal factor and compiles to a handful of 3x3 ops
+    (jnp.linalg.svd on tiny matrices compiles very slowly on TPU/CPU)."""
+    det = jnp.linalg.det(M)
+    # guard improper/degenerate input: flip the last column if det < 0
+    M = M.at[..., :, 2].multiply(jnp.where(det < 0, -1.0, 1.0)[..., None])
+
+    def body(_, X):
+        return 0.5 * (X + _inv33_T(X))
+
+    return jax.lax.fori_loop(0, n_iters, body, M)
+
+
+def _inv33_T(A):
+    """Transpose-inverse of (..., 3, 3) in closed form (adjugate)."""
+    a = A[..., 0, :]
+    b = A[..., 1, :]
+    c = A[..., 2, :]
+    r0 = jnp.cross(b, c)
+    r1 = jnp.cross(c, a)
+    r2 = jnp.cross(a, b)
+    det = jnp.sum(a * r0, -1, keepdims=True)[..., None]
+    adjT = jnp.stack([r0, r1, r2], -2)  # rows of inv^T
+    return adjT / jnp.where(jnp.abs(det) < _EPS, _EPS, det)
 
 
 def project(K, pts_c):

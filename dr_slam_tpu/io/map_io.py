@@ -1,0 +1,35 @@
+"""Map save/load (checkpoint/resume).
+
+Capability of Map::Save / Map::Load (src/Map.cc:450-798): binary map
+serialization of points, keyframes with descriptors and observation graph;
+the reference persists points+keyframes only (planes/lines are NOT
+serialized, SURVEY.md section 5). Here the whole MapState pytree round-trips
+through one npz -- including planes, lines, BoW vectors and the Manhattan
+frame, so resume is lossless (a strict superset of the reference)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from dr_slam_tpu.config import SlamConfig
+from dr_slam_tpu.slam.state import MapState, make_empty_state
+
+
+def save_map(path: str, state: MapState) -> None:
+    np.savez_compressed(path, **{k: np.asarray(v)
+                                 for k, v in state._asdict().items()})
+
+
+def load_map(path: str, cfg: SlamConfig) -> MapState:
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    template = make_empty_state(cfg)
+    fields = {}
+    for k, tmpl in template._asdict().items():
+        arr = data[k]
+        if arr.shape != tmpl.shape:
+            raise ValueError(
+                f"map field {k}: saved shape {arr.shape} != configured "
+                f"{tmpl.shape}; load with the same capacity config")
+        fields[k] = jnp.asarray(arr, dtype=tmpl.dtype)
+    return MapState(**fields)

@@ -59,13 +59,24 @@ def _texture(p, plane_idx):
     tv = v * 3.0 + 0.3 * phase
     cu = jnp.floor(tu)
     cv = jnp.floor(tv)
-    rnd = jnp.sin(cu * 12.9898 + cv * 78.233 + phase) * 43758.5453
-    rnd = rnd - jnp.floor(rnd)  # per-cell uniform [0,1)
+
+    def cell_hash(k):
+        h = jnp.sin(cu * 12.9898 + cv * 78.233 + phase + k * 3.7) * 43758.5453
+        return h - jnp.floor(h)  # per-cell uniform [0,1)
+
+    rnd = cell_hash(0)
+    # jitter each square's position and size per cell: breaks the strict
+    # periodicity that makes every corner alias onto its neighbors
+    ou = 0.05 + 0.25 * cell_hash(1)
+    ov = 0.05 + 0.25 * cell_hash(2)
+    su = 0.30 + 0.40 * cell_hash(3)
+    sv = 0.30 + 0.40 * cell_hash(4)
     fu = tu - cu
     fv = tv - cv
-    inside = ((fu > 0.18) & (fu < 0.72) & (fv > 0.18) & (fv < 0.72))
+    inside = ((fu > ou) & (fu < ou + su) & (fv > ov) & (fv < ov + sv))
     coarse = jnp.sin(u * 2.1 + phase) + jnp.cos(v * 1.7 + phase)
-    g = 70.0 + 140.0 * inside * (0.35 + 0.65 * rnd) + 10.0 * coarse
+    mid = jnp.sin(u * 7.3 + 2.0 * phase) * jnp.cos(v * 6.1 + phase)
+    g = 70.0 + 140.0 * inside * (0.35 + 0.65 * rnd) + 10.0 * coarse + 6.0 * mid
     return jnp.clip(g, 0.0, 255.0)
 
 

@@ -1,0 +1,261 @@
+"""Line-segment detection + binary descriptors + 3D lifting, TPU-style.
+
+Capability of the reference's line stack -- OpenCV LSD + LBD descriptors with
+top-40 selection (src/LSDextractor.cpp:12-42), per-line 3D RANSAC with
+depth-dependent covariance and levmar MLE refine (Frame::isLineGood,
+src/Frame.cc:481-558; src/LineExtractor.cpp:14-260) -- rebuilt as fixed-shape
+tensor programs (LSD's sequential region-growing does not map to the TPU):
+
+1. Structure-tensor cells: the image is tiled into CxC cells; per cell a
+   gradient structure tensor gives the dominant edge orientation and a
+   coherence score; gradient pixels aligned to that orientation contribute
+   weighted position moments.
+2. Chaining: 'liney' cells adopt the min label of compatible neighbors
+   (orientation agreement + collinearity of centroids), iterated a fixed
+   number of rounds -- the same label-propagation pattern as plane
+   segmentation (ops/planes.py).
+3. Segments: the top-L labels aggregate their cell moments with one matmul;
+   2D PCA gives center/direction; endpoints come from min/max projections of
+   member-cell centroids. The 2D line equation is normalized (a,b,c) with
+   a^2+b^2 = 1 as the reference computes from endpoint cross products
+   (LSDextractor.cpp:32-42).
+4. Descriptors: 256-bit 'line-BRIEF' -- intensity comparisons at a fixed
+   seeded pattern of (along, across) offsets in the line's own frame
+   (the role of LBD band statistics; binary, so it matches with the same
+   Hamming matmul as ORB).
+5. 3D lifting: sample depths along the segment, backproject, RANSAC over
+   deterministic sample pairs with depth-adaptive inlier tolerance
+   (the reference's Mahalanobis gate), then PCA refine over inliers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dr_slam_tpu.ops import image as image_ops
+from dr_slam_tpu.ops.orb import pack_bits
+
+
+class LineFeatures(NamedTuple):
+    seg2d: jnp.ndarray      # (L, 4) endpoints x1,y1,x2,y2 (pixels)
+    lineq: jnp.ndarray      # (L, 3) normalized 2D line equation
+    desc: jnp.ndarray       # (L, 8) uint32 packed 256-bit descriptor
+    dir3d: jnp.ndarray      # (L, 3) unit 3D direction (camera frame)
+    ep3d: jnp.ndarray       # (L, 6) 3D endpoints (camera frame)
+    has3d: jnp.ndarray      # (L,) bool
+    valid: jnp.ndarray      # (L,) bool
+    response: jnp.ndarray   # (L,) support strength
+
+
+def _line_pattern(seed: int = 7, n: int = 256) -> np.ndarray:
+    """(n, 4): compare intensity at (t1, o1) vs (t2, o2) in line frame;
+    t in [-0.45, 0.45] (fraction of length), o in [-6, 6] px across."""
+    rng = np.random.RandomState(seed)
+    t = rng.uniform(-0.45, 0.45, (n, 2))
+    o = rng.randn(n, 2) * 3.0
+    o = np.clip(o, -6, 6)
+    return np.stack([t[:, 0], o[:, 0], t[:, 1], o[:, 1]], -1).astype(np.float32)
+
+
+_LINE_PATTERN = _line_pattern()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cell", "max_lines", "n_samples", "n_prop"))
+def extract_lines(gray: jnp.ndarray, depth: jnp.ndarray, K4,
+                  max_lines: int = 64, grad_threshold: float = 20.0,
+                  min_length: float = 25.0, cell: int = 16,
+                  n_samples: int = 32, n_prop: int = 32) -> LineFeatures:
+    h, w = gray.shape
+    gx, gy = image_ops.sobel_gradients(gray)
+    mag2 = gx * gx + gy * gy
+    strong = mag2 > grad_threshold ** 2
+
+    gh, gw = h // cell, w // cell
+    nb = gh * gw
+
+    def tile(x):
+        x = x[:gh * cell, :gw * cell].reshape(gh, cell, gw, cell)
+        return x.transpose(0, 2, 1, 3).reshape(gh, gw, cell * cell)
+
+    tgx, tgy, tm2, tst = tile(gx), tile(gy), tile(mag2), tile(strong)
+    wgt = tm2 * tst
+    # structure tensor (gradient second moments)
+    jxx = jnp.sum(tgx * tgx * tst, -1)
+    jyy = jnp.sum(tgy * tgy * tst, -1)
+    jxy = jnp.sum(tgx * tgy * tst, -1)
+    tr = jxx + jyy
+    # dominant gradient orientation (mod pi); line direction is perpendicular
+    phi = 0.5 * jnp.arctan2(2 * jxy, jxx - jyy)
+    lam_diff = jnp.sqrt(jnp.maximum((jxx - jyy) ** 2 + 4 * jxy ** 2, 1e-12))
+    coherence = lam_diff / jnp.maximum(tr, 1e-6)
+    n_strong = jnp.sum(tst, -1)
+
+    # per-cell aligned-pixel position moments
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    txx, tyy_ = tile(xx), tile(yy)
+    pang = jnp.arctan2(tgy, tgx)  # pixel gradient angle
+    dang = pang - phi[..., None]
+    aligned = (jnp.abs(jnp.sin(dang)) < 0.38) & tst  # ~22 deg gate
+    aw = tm2 * aligned
+    awsum = jnp.maximum(jnp.sum(aw, -1), 1e-6)
+    cx_ = jnp.sum(txx * aw, -1) / awsum
+    cy_ = jnp.sum(tyy_ * aw, -1) / awsum
+
+    # line direction per cell (perpendicular to gradient)
+    dirx = -jnp.sin(phi)
+    diry = jnp.cos(phi)
+
+    liney = (coherence > 0.7) & (n_strong > cell * 1.0)
+
+    # ---- chain compatible neighbor cells (label propagation) --------------
+    flat = jnp.arange(nb, dtype=jnp.int32).reshape(gh, gw)
+    init = jnp.where(liney, flat, nb)
+    centers = jnp.stack([cx_, cy_], -1)
+    dirs = jnp.stack([dirx, diry], -1)
+
+    shifts = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
+    masks = []
+    for s in shifts:
+        roll = lambda x: jnp.roll(x, s, axis=(0, 1))
+        d2, c2, ok2 = roll(dirs), roll(centers), roll(liney)
+        # orientation agreement (mod pi)
+        cosang = jnp.abs(jnp.sum(dirs * d2, -1))
+        dc = c2 - centers
+        dist = jnp.maximum(jnp.linalg.norm(dc, axis=-1), 1e-6)
+        # centroid displacement collinear with the line direction
+        along = jnp.abs(jnp.sum(dc * dirs, -1)) / dist
+        perp = jnp.abs(dc[..., 0] * dirs[..., 1] - dc[..., 1] * dirs[..., 0])
+        yy2 = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+        xx2 = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+        inb = ((yy2 - s[0] >= 0) & (yy2 - s[0] < gh)
+               & (xx2 - s[1] >= 0) & (xx2 - s[1] < gw))
+        masks.append((cosang > 0.966) & (along > 0.924) & (perp < 3.0)
+                     & liney & ok2 & inb)
+
+    def body(_, labels):
+        out = labels
+        for s, m in zip(shifts, masks):
+            nl = jnp.roll(labels, s, axis=(0, 1))
+            out = jnp.where(m, jnp.minimum(out, nl), out)
+        return out
+
+    labels = jax.lax.fori_loop(0, n_prop, body, init).reshape(-1)
+
+    # ---- top-L segments ----------------------------------------------------
+    support = jnp.zeros(nb + 1).at[labels].add(awsum.reshape(-1))
+    support = support.at[nb].set(0.0)
+    top_sup, top_lab = jax.lax.top_k(support, max_lines)
+    member = (labels[None, :] == top_lab[:, None]) & liney.reshape(-1)[None, :]
+    mf = member.astype(jnp.float32) * awsum.reshape(-1)[None, :]
+
+    # weighted PCA over member-cell centroids
+    msum = jnp.maximum(jnp.sum(mf, -1), 1e-6)
+    cen = (mf @ centers.reshape(nb, 2)) / msum[:, None]     # (L, 2)
+    d0 = centers.reshape(nb, 2)[None] - cen[:, None]        # (L, nb, 2)
+    cov_xx = jnp.sum(mf * d0[..., 0] ** 2, -1) / msum
+    cov_yy = jnp.sum(mf * d0[..., 1] ** 2, -1) / msum
+    cov_xy = jnp.sum(mf * d0[..., 0] * d0[..., 1], -1) / msum
+    theta = 0.5 * jnp.arctan2(2 * cov_xy, cov_xx - cov_yy)
+    ldir = jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)  # (L, 2)
+
+    # endpoints from extreme projections of member centroids (+half cell)
+    proj = jnp.einsum("lni,li->ln", d0, ldir)
+    proj = jnp.where(member, proj, 0.0)
+    tmin = jnp.min(proj, -1) - cell * 0.5
+    tmax = jnp.max(proj, -1) + cell * 0.5
+    p1 = cen + tmin[:, None] * ldir
+    p2 = cen + tmax[:, None] * ldir
+    length = tmax - tmin
+    seg2d = jnp.concatenate([p1, p2], -1)
+
+    # canonical direction: flip so the brighter side is on the left
+    # (disambiguates the 180-degree descriptor/matching ambiguity)
+    nrm = jnp.stack([-ldir[:, 1], ldir[:, 0]], -1)
+    probe_l = image_ops.bilinear_sample(gray, cen + 4.0 * nrm)
+    probe_r = image_ops.bilinear_sample(gray, cen - 4.0 * nrm)
+    flip = probe_l < probe_r
+    ldir = jnp.where(flip[:, None], -ldir, ldir)
+    seg2d = jnp.where(flip[:, None],
+                      jnp.concatenate([p2, p1], -1), seg2d)
+
+    # 2D line equation (a,b,c), a^2+b^2=1 (cf. LSDextractor.cpp:32-42)
+    a = -ldir[:, 1]
+    b = ldir[:, 0]
+    c = -(a * cen[:, 0] + b * cen[:, 1])
+    lineq = jnp.stack([a, b, c], -1)
+
+    valid = (top_sup > 0) & (length > min_length)
+
+    # ---- descriptor: line-BRIEF in the line frame --------------------------
+    pat = jnp.asarray(_LINE_PATTERN)
+    mid = cen
+    span = length[:, None]
+    pos1 = (mid[:, None, :] + pat[None, :, 0:1] * span[:, None] * ldir[:, None, :]
+            + pat[None, :, 1:2] * nrm[:, None, :] * jnp.where(flip, -1.0, 1.0)[:, None, None])
+    pos2 = (mid[:, None, :] + pat[None, :, 2:3] * span[:, None] * ldir[:, None, :]
+            + pat[None, :, 3:4] * nrm[:, None, :] * jnp.where(flip, -1.0, 1.0)[:, None, None])
+    blur = image_ops.gaussian_blur(gray)
+    bits = image_ops.bilinear_sample(blur, pos1) < image_ops.bilinear_sample(blur, pos2)
+    desc = pack_bits(bits)
+
+    # ---- 3D lifting ---------------------------------------------------------
+    t = jnp.linspace(0.05, 0.95, n_samples)
+    samples = p1[:, None, :] + t[None, :, None] * (p2 - p1)[:, None, :]  # (L,S,2)
+    dvals = image_ops.nearest_sample(depth, samples)
+    fx, fy, cx0, cy0 = K4
+    X = jnp.stack([(samples[..., 0] - cx0) / fx * dvals,
+                   (samples[..., 1] - cy0) / fy * dvals,
+                   dvals], -1)                                # (L,S,3)
+    dok = dvals > 1e-3
+
+    # RANSAC over deterministic index pairs
+    s_idx = np.linspace(0, n_samples - 1, 8, dtype=np.int64)
+    pairs = np.array([(i, j) for i in s_idx for j in s_idx if j > i + 2],
+                     dtype=np.int64)
+    Pa = X[:, pairs[:, 0]]      # (L, H, 3)
+    Pb = X[:, pairs[:, 1]]
+    ok_h = dok[:, pairs[:, 0]] & dok[:, pairs[:, 1]]
+    ldir3 = Pb - Pa
+    ldir3 = ldir3 / jnp.maximum(jnp.linalg.norm(ldir3, axis=-1, keepdims=True), 1e-9)
+    rel = X[:, None, :, :] - Pa[:, :, None, :]                # (L, H, S, 3)
+    along3 = jnp.einsum("lhsc,lhc->lhs", rel, ldir3)
+    perp3 = rel - along3[..., None] * ldir3[:, :, None, :]
+    dist3 = jnp.linalg.norm(perp3, axis=-1)                   # (L, H, S)
+    tol = 0.01 + 0.01 * X[..., 2]                              # depth-adaptive
+    inl = (dist3 < tol[:, None, :]) & dok[:, None, :] & ok_h[..., None]
+    votes = jnp.sum(inl, -1)                                  # (L, H)
+    best = jnp.argmax(votes, -1)
+    n_inl = jnp.take_along_axis(votes, best[:, None], 1)[:, 0]
+    bidx = best[:, None, None]
+    bdir = jnp.take_along_axis(ldir3, bidx.repeat(3, -1), 1)[:, 0]
+    binl = jnp.take_along_axis(inl, bidx.repeat(n_samples, -1), 1)[:, 0]  # (L,S)
+
+    # PCA refine over inliers
+    wl = binl.astype(jnp.float32)
+    wls = jnp.maximum(jnp.sum(wl, -1), 1e-6)
+    mu = jnp.sum(X * wl[..., None], 1) / wls[:, None]
+    dX = (X - mu[:, None]) * wl[..., None]
+    cov3 = jnp.einsum("lsi,lsj->lij", dX, dX) / wls[:, None, None]
+    from dr_slam_tpu.ops import eig33
+    evals = eig33.eigvals_sym3(cov3)
+    # largest eigvec = line direction: use smallest-eigvec trick on -cov
+    v = eig33.smallest_eigvec_sym3(-cov3, -evals[:, 2])
+    sign = jnp.where(jnp.sum(v * bdir, -1, keepdims=True) < 0, -1.0, 1.0)
+    dir3d = v * sign
+    tproj = jnp.einsum("lsc,lc->ls", X - mu[:, None], dir3d)
+    tproj = jnp.where(binl, tproj, 0.0)
+    e1 = mu + jnp.min(tproj, -1, keepdims=True) * dir3d
+    e2 = mu + jnp.max(tproj, -1, keepdims=True) * dir3d
+    has3d = valid & (n_inl >= max(4, n_samples // 4))
+
+    return LineFeatures(
+        seg2d=seg2d, lineq=lineq, desc=desc, dir3d=dir3d,
+        ep3d=jnp.concatenate([e1, e2], -1), has3d=has3d, valid=valid,
+        response=top_sup)

@@ -47,7 +47,11 @@ class PlaneSegmentation(NamedTuple):
 
 def _block_moments(cloud, valid, block):
     """(H,W,3),(H,W) -> per-block (count, mean, cov) with shapes
-    (gh,gw),(gh,gw,3),(gh,gw,3,3)."""
+    (gh,gw),(gh,gw,3),(gh,gw,3,3).
+
+    Covariance is accumulated around the block mean (two-pass): raw
+    E[pp^T] - mu mu^T in f32 cancels catastrophically (coords ~ meters,
+    planar residuals ~ 1e-4 m) and biases plane fits by centimeters."""
     h, w, _ = cloud.shape
     gh, gw = h // block, w // block
     c = cloud[:gh * block, :gw * block].reshape(gh, block, gw, block, 3)
@@ -129,17 +133,23 @@ def segment_planes(depth: jnp.ndarray, K4, block: int = 8, max_planes: int = 8,
     member = (flat_labels[None, :] == top_lab[:, None]) & planar.reshape(-1)[None, :]
     memberf = member.astype(jnp.float32)  # (P, nb)
 
-    # --- aggregate moments per segment with one matmul ---------------------
+    # --- aggregate moments per segment (parallel-axis form) ----------------
+    # cov_seg = [sum_b n_b cov_b + sum_b n_b (mu_b - mu_seg)(mu_b - mu_seg)^T]/N
+    # NOT E[pp^T] - mu mu^T: raw second moments reach ~1e6 while the planar
+    # covariance signal is ~1e-4, so the subtraction cancels catastrophically
+    # in f32 and biases plane d by centimeters.
     cnt_f = cnt.reshape(-1)
     sum_p = (mean * cnt[..., None]).reshape(nb, 3)
-    # E[xx^T]*n = cov*n + n*mean mean^T
-    sum_pp = (cov + jnp.einsum("...i,...j->...ij", mean, mean)) * cnt[..., None, None]
-    feats = jnp.concatenate([cnt_f[:, None], sum_p, sum_pp.reshape(nb, 9)], -1)
+    sum_cov = (cov * cnt[..., None, None]).reshape(nb, 9)
+    feats = jnp.concatenate([cnt_f[:, None], sum_p, sum_cov], -1)
     agg = memberf @ feats  # (P, 13)
     a_cnt = jnp.maximum(agg[:, 0], 1.0)
     a_mean = agg[:, 1:4] / a_cnt[:, None]
-    a_cov = agg[:, 4:13].reshape(-1, 3, 3) / a_cnt[:, None, None] \
-        - jnp.einsum("pi,pj->pij", a_mean, a_mean)
+    mu_b = mean.reshape(nb, 3)
+    d_b = mu_b[None, :, :] - a_mean[:, None, :]               # (P, nb, 3)
+    w_b = memberf * cnt_f[None, :]                            # (P, nb)
+    spread = jnp.einsum("pn,pni,pnj->pij", w_b, d_b, d_b)
+    a_cov = (agg[:, 4:13].reshape(-1, 3, 3) + spread) / a_cnt[:, None, None]
     pn, pd, pmse = eig33.plane_from_cov(a_mean, a_cov)
     coeffs = jnp.concatenate([pn, pd[:, None]], -1)
 

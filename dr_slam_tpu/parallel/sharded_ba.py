@@ -1,0 +1,90 @@
+"""Multi-chip scaling: sharded bundle adjustment + data-parallel tracking.
+
+The reference has no distributed computing (SURVEY.md section 2.8) -- its
+scaling axes are intra-frame threads and pipeline threads. The honest
+TPU-native scaling axes are:
+
+1. **Sharded global BA** (`sharded_bundle_adjust`): the observation axis of
+   optimize/global_ba.py is embarrassingly parallel -- shard observations
+   across the `obs` mesh axis, replicate the (small) pose/point parameter
+   vectors, and let XLA turn the J^T(Jv) reductions of every CG iteration
+   into psums over ICI. Maps that outgrow one chip's HBM shard for free.
+2. **Data-parallel multi-sequence evaluation** (`batched_frontend`): N
+   independent sequences tracked at once with frames sharded over `data`
+   (the pmap/pjit analog of running N dataset runs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dr_slam_tpu.optimize.global_ba import BAProblem, bundle_adjust
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "obs") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), axis_names=(axis,))
+
+
+def shard_problem(p: BAProblem, mesh: Mesh, axis: str = "obs") -> BAProblem:
+    """Pad the observation axis to the mesh size and place shardings:
+    observations split across devices, parameters replicated."""
+    n = mesh.shape[axis]
+    M = p.obs_kf.shape[0]
+    pad = (-M) % n
+
+    def pad_obs(x, fill=0):
+        if pad == 0:
+            return x
+        width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, width, constant_values=fill)
+
+    obs_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    return BAProblem(
+        kf_pose=jax.device_put(p.kf_pose, rep),
+        pt_pos=jax.device_put(p.pt_pos, rep),
+        obs_kf=jax.device_put(pad_obs(p.obs_kf), obs_sh),
+        obs_pt=jax.device_put(pad_obs(p.obs_pt), obs_sh),
+        obs_uv=jax.device_put(pad_obs(p.obs_uv), obs_sh),
+        obs_z=jax.device_put(pad_obs(p.obs_z), obs_sh),
+        obs_inv_sigma2=jax.device_put(pad_obs(p.obs_inv_sigma2), obs_sh),
+        obs_valid=jax.device_put(pad_obs(p.obs_valid, False), obs_sh),
+        kf_free=jax.device_put(p.kf_free, rep),
+        pt_free=jax.device_put(p.pt_free, rep),
+    )
+
+
+def sharded_bundle_adjust(p: BAProblem, K4, mesh: Mesh, axis: str = "obs",
+                          **kw):
+    """bundle_adjust with observations sharded over the mesh. XLA inserts the
+    ICI collectives (psum of J^T r / J^T J v partial sums) automatically from
+    the sharding annotations -- no hand-written NCCL analog."""
+    p = shard_problem(p, mesh, axis)
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        functools.partial(bundle_adjust, **kw),
+        out_shardings=(rep, rep),
+    )
+    return fn(p, jnp.asarray(K4, dtype=jnp.float32))
+
+
+def batched_frontend(imgs: jnp.ndarray, mesh: Mesh, axis: str = "data",
+                     **orb_kw):
+    """vmap the ORB front-end over a frame batch sharded across devices."""
+    from dr_slam_tpu.ops import orb
+
+    sh = NamedSharding(mesh, P(axis, None, None))
+    imgs = jax.device_put(imgs, sh)
+
+    def one(img):
+        kp = orb.extract_orb(img, **orb_kw)
+        return kp.uv, kp.desc, kp.valid
+
+    return jax.jit(jax.vmap(one))(imgs)

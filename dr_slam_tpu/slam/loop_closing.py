@@ -1,0 +1,212 @@
+"""Loop closing: detection, geometric verification, correction, global BA.
+
+Capability of the reference LoopClosing thread (src/LoopClosing.cc):
+- DetectLoop (:108): DBoW2 candidates gated by the minimum BoW score among
+  covisible neighbors, plus consistency across consecutive keyframes
+  (mnCovisibilityConsistencyTh = 3).
+- ComputeSim3 (:277): descriptor matches -> Sim3Solver RANSAC (fixed scale
+  for RGB-D) -> refinement.
+- CorrectLoop (:448): propagate the correction, optimize the essential
+  graph (Optimizer::OptimizeEssentialGraph), then run global BA in a
+  detached thread (:625 -> RunGlobalBundleAdjustment :691).
+
+TPU design: detection is one BoW matmul over all keyframes; verification is
+batched Horn-RANSAC on device; correction is one pose-graph solve (matrix-
+free PCG) + a vectorized landmark re-anchoring (every point moves with its
+reference keyframe). The host only sequences these device programs."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dr_slam_tpu.associate.vocabulary import bow_scores
+from dr_slam_tpu.config import SlamConfig
+from dr_slam_tpu.geometry import se3
+from dr_slam_tpu.ops.hamming import hamming_matrix, mutual_best_matches
+from dr_slam_tpu.optimize.global_ba import bundle_adjust, problem_from_state
+from dr_slam_tpu.optimize.pose_graph import PoseGraph, optimize_pose_graph
+from dr_slam_tpu.optimize.sim3 import sim3_ransac
+from dr_slam_tpu.slam.state import MapState
+
+
+@jax.jit
+def _covis_counts(state: MapState, kf_id) -> jnp.ndarray:
+    """(NK,) shared-map-point counts between kf_id and every keyframe."""
+    NP = state.pt_pos.shape[0]
+    row = state.kf_mp[kf_id]
+    ind = jnp.zeros(NP + 1, jnp.int32).at[jnp.where(row >= 0, row, NP)].set(1)
+    cnt = ind[jnp.clip(state.kf_mp, 0)] * (state.kf_mp >= 0)
+    return jnp.sum(cnt, -1) * state.kf_valid
+
+
+@jax.jit
+def _match_kf_pairs(state: MapState, kf_a, kf_b):
+    """Descriptor matches between two keyframes' features that both have map
+    points -> camera-frame 3D pairs for Horn alignment."""
+    da = state.kf_desc[kf_a]
+    db = state.kf_desc[kf_b]
+    va = state.kf_kp_valid[kf_a] & (state.kf_mp[kf_a] >= 0)
+    vb = state.kf_kp_valid[kf_b] & (state.kf_mp[kf_b] >= 0)
+    D = jnp.where(va[:, None] & vb[None, :],
+                  hamming_matrix(da, db), jnp.inf)
+    match, _ = mutual_best_matches(D, max_dist=60.0, ratio=0.8)
+    ok = match >= 0
+    mp_a = jnp.clip(state.kf_mp[kf_a], 0)
+    mp_b = jnp.clip(state.kf_mp[kf_b][jnp.clip(match, 0)], 0)
+    Xa = se3.transform_points(state.kf_pose[kf_a], state.pt_pos[mp_a])
+    Xb = se3.transform_points(state.kf_pose[kf_b], state.pt_pos[mp_b])
+    return Xa, Xb, ok
+
+
+@dataclass
+class LoopCloser:
+    cfg: SlamConfig
+    min_kf_gap: int = 10          # temporal exclusion window
+    consistency_needed: int = 2   # consecutive detections (reference: 3)
+    run_gba: bool = True
+    _consistency: dict = field(default_factory=dict)
+
+    def process(self, state: MapState, cur_kf: int) -> tuple[MapState, bool]:
+        n_kfs = int(state.n_kfs)
+        if n_kfs < self.min_kf_gap + 2:
+            return state, False
+
+        # ---- detection -----------------------------------------------------
+        scores = np.asarray(bow_scores(state.kf_bow[cur_kf], state.kf_bow,
+                                       state.kf_valid))
+        covis = np.asarray(_covis_counts(state, jnp.asarray(cur_kf)))
+        neighbor = covis > 10
+        neighbor[cur_kf] = True
+        recent = np.abs(np.arange(len(scores)) - cur_kf) < self.min_kf_gap
+        min_score = float(scores[neighbor & (scores > 0)].min()) \
+            if (neighbor & (scores > 0)).any() else 0.05
+        cand_mask = (scores >= max(min_score, 0.05)) & ~neighbor & ~recent
+        cand_mask[n_kfs:] = False
+        candidates = np.where(cand_mask)[0]
+        if len(candidates) == 0:
+            self._consistency = {}
+            return state, False
+
+        # consistency across consecutive keyframes (LoopClosing.cc:199-257)
+        new_consistency = {}
+        confirmed = []
+        for c in candidates:
+            streak = 1 + max((v for k, v in self._consistency.items()
+                              if abs(k - c) <= 3), default=0)
+            new_consistency[int(c)] = streak
+            if streak >= self.consistency_needed:
+                confirmed.append(int(c))
+        self._consistency = new_consistency
+        if not confirmed:
+            return state, False
+
+        # ---- geometric verification (ComputeSim3 capability) ----------------
+        best = max(confirmed, key=lambda c: scores[c])
+        Xa, Xb, ok = _match_kf_pairs(state, jnp.asarray(best),
+                                     jnp.asarray(cur_kf))
+        if int(jnp.sum(ok)) < 20:
+            return state, False
+        # T maps candidate-frame coords -> current-frame coords
+        T_rel, s, n_inl = sim3_ransac(Xa, Xb, ok, inlier_dist=0.10)
+        if int(n_inl) < 20:
+            return state, False
+
+        # ---- correction ------------------------------------------------------
+        state = self._correct(state, cur_kf, best, T_rel)
+        self._consistency = {}
+        return state, True
+
+    # ------------------------------------------------------------------
+    def _correct(self, state: MapState, cur_kf: int, loop_kf: int,
+                 T_rel: jnp.ndarray) -> MapState:
+        NK = state.kf_pose.shape[0]
+        n_kfs = int(state.n_kfs)
+
+        # edge table: temporal chain + top covisibility + the loop edge
+        edges_i, edges_j, weights = [], [], []
+        for k in range(1, n_kfs):
+            edges_i.append(k - 1)
+            edges_j.append(k)
+            weights.append(1.0)
+        covis_full = np.asarray(_covis_full(state))
+        for k in range(n_kfs):
+            top = np.argsort(-covis_full[k])[:4]
+            for j in top:
+                if j != k and covis_full[k, j] > 15 and abs(int(j) - k) > 1:
+                    edges_i.append(k)
+                    edges_j.append(int(j))
+                    weights.append(1.0)
+        edges_i.append(int(loop_kf))
+        edges_j.append(int(cur_kf))
+        weights.append(10.0)  # strong loop constraint
+
+        E = len(edges_i)
+        ei = jnp.asarray(edges_i, dtype=jnp.int32)
+        ej = jnp.asarray(edges_j, dtype=jnp.int32)
+        poses = state.kf_pose
+        # measured relative transforms from current estimates...
+        T_ij = poses[ei] @ jax.vmap(se3.inv_T)(poses[ej])
+        # ...except the loop edge, whose measurement is the Horn result:
+        # T_cur' = T_rel @ T_loop  =>  T_loop @ inv(T_cur) measured as
+        # inv(T_rel) on the loop-closed cycle.
+        T_ij = T_ij.at[E - 1].set(se3.inv_T(T_rel))
+
+        fixed = jnp.zeros(NK, dtype=bool).at[0].set(True).at[loop_kf].set(True)
+        g = PoseGraph(
+            poses=poses, pose_valid=state.kf_valid,
+            edge_i=ei, edge_j=ej, edge_T_ij=T_ij,
+            edge_valid=jnp.ones(E, dtype=bool),
+            edge_weight=jnp.asarray(weights, dtype=jnp.float32),
+            fixed=fixed)
+        new_poses = optimize_pose_graph(g)
+
+        state = _reanchor_map(state, new_poses)
+
+        if self.run_gba:
+            prob = problem_from_state(state)
+            kf_pose, pt_pos = bundle_adjust(prob, self.cfg.camera.K4,
+                                            n_gn_iters=4, n_cg_iters=30)
+            state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
+        return state
+
+
+@jax.jit
+def _covis_full(state: MapState) -> jnp.ndarray:
+    """(NK, NK) shared-point counts via one matmul over the observation
+    indicator matrix (the covisibility graph, KeyFrame::UpdateConnections)."""
+    NK, K = state.kf_mp.shape
+    NP = state.pt_pos.shape[0]
+    # indicator (NK, NP) built by scatter
+    rows = jnp.repeat(jnp.arange(NK, dtype=jnp.int32), K)
+    cols = state.kf_mp.reshape(-1)
+    ok = cols >= 0
+    ind = jnp.zeros((NK, NP + 1), dtype=jnp.float32).at[
+        rows, jnp.where(ok, cols, NP)].set(1.0)[:, :NP]
+    C = jnp.dot(ind, ind.T, preferred_element_type=jnp.float32)
+    return C * state.kf_valid[:, None] * state.kf_valid[None, :]
+
+
+@jax.jit
+def _reanchor_map(state: MapState, new_poses: jnp.ndarray) -> MapState:
+    """Move each landmark with its reference keyframe's correction:
+    X' = inv(T_new_ref) @ T_old_ref @ X (LoopClosing::CorrectLoop landmark
+    propagation)."""
+    ref = jnp.clip(state.pt_first_kf, 0)
+    T_old = state.kf_pose[ref]
+    T_new = new_poses[ref]
+    X_c = jnp.einsum("nij,nj->ni", T_old[:, :3, :3], state.pt_pos) \
+        + T_old[:, :3, 3]
+    Tn_inv = jax.vmap(se3.inv_T)(T_new)
+    X_w = jnp.einsum("nij,nj->ni", Tn_inv[:, :3, :3], X_c) + Tn_inv[:, :3, 3]
+    pt_pos = jnp.where(state.pt_valid[:, None], X_w, state.pt_pos)
+
+    # planes and lines re-anchor with the same correction of their... the
+    # reference does not correct planes/lines at loop closure at all
+    # (LoopClosing.cc handles points only -- SURVEY.md 2.1); we move lines
+    # with keyframe 0's correction (identity when KF0 is fixed) i.e. leave
+    # them, matching reference behavior.
+    return state._replace(pt_pos=pt_pos, kf_pose=new_poses)

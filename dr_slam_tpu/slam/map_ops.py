@@ -1,0 +1,485 @@
+"""Jitted map operations: matching, observation assembly, keyframe insertion,
+plane/line bookkeeping, culling.
+
+These replace the reference's pointer-chasing associators and map mutation
+methods with fixed-shape device programs:
+
+- match_points_projection : ORBmatcher::SearchByProjection (ORBmatcher.cc:46,
+  1396) -- instead of per-feature grid walks, ALL map points are projected
+  and scored against ALL frame keypoints with one Hamming matmul + window
+  gate. 1024 x 32768 x 256 bits is ~1.7 GMAC on the MXU: cheaper than the
+  pointer walk is on a CPU.
+- match_reference_kf      : ORBmatcher::SearchByBoW (ORBmatcher.cc:160) --
+  the BoW bucketing exists to prune CPU work; on the MXU the full K x K
+  Hamming matrix is faster, so the vocabulary stays only where it is
+  semantically needed (loop detection / relocalization candidates).
+- match_planes            : PlaneMatcher::SearchMapByCoefficients
+  (PlaneMatcher.cpp:11-94) -- normal-angle + min point-to-plane distance
+  against every map plane at once; records parallel/vertical relations.
+- match_lines             : LSDmatcher (LSDmatcher.cpp) -- Hamming matmul
+  over LBD-style binary descriptors with a projected-endpoint gate.
+- add_keyframe            : Tracking::CreateNewKeyFrame (Tracking.cc:3040) +
+  the RGB-D new-point creation from depth; slot allocation is an argsort
+  over the free mask (no host allocator).
+- cull_map                : LocalMapping::MapPointCulling / MapPlaneCulling
+  (LocalMapping.cc:175,233) as mask updates; plane merge by normal angle +
+  distance (LocalMapping.cc:239-276).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dr_slam_tpu.config import SlamConfig
+from dr_slam_tpu.frontend.frame import FrameFeatures
+from dr_slam_tpu.geometry import se3
+from dr_slam_tpu.ops.hamming import hamming_matrix
+from dr_slam_tpu.optimize.pose_opt import PoseObservations
+from dr_slam_tpu.slam.state import MapState
+
+TH_HIGH = 100.0   # ORBmatcher.h TH_HIGH
+TH_LOW = 50.0     # ORBmatcher.h TH_LOW
+
+
+def _free_slots(valid: jnp.ndarray) -> jnp.ndarray:
+    """(N,) bool -> (N,) int32: index of the r-th free slot at position r
+    (free slots in ascending index order; tail filled with used slots)."""
+    n = valid.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(valid, idx + n, idx)  # free first, ascending
+    return jnp.argsort(keys).astype(jnp.int32)
+
+
+class PointMatches(NamedTuple):
+    mp_idx: jnp.ndarray      # (K,) int32 matched map-point id or -1
+    n_matches: jnp.ndarray   # () int32
+    visible: jnp.ndarray     # (NP,) bool -- predicted-visible mask
+
+
+def rotation_consistency(ok, dangle, n_bins: int = 30, keep_bins: int = 3):
+    """ORBmatcher's orientation-histogram check (ORBmatcher.cc:38-40,1666):
+    bin the keypoint-vs-landmark angle differences into 30 bins and keep only
+    matches in the `keep_bins` most populated bins. Kills aliased matches
+    onto differently-oriented corners of similar texture."""
+    two_pi = 2.0 * jnp.pi
+    a = jnp.mod(dangle, two_pi)
+    bins = jnp.clip((a / two_pi * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    hist = jnp.zeros(n_bins, jnp.int32).at[bins].add(ok.astype(jnp.int32))
+    top_counts, top_bins = jax.lax.top_k(hist, keep_bins)
+    in_top = jnp.any(bins[:, None] == top_bins[None, :], axis=1)
+    return ok & in_top
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
+                            T_pred, K4, radius: float,
+                            max_hamming: float = TH_HIGH,
+                            width: int = 640, height: int = 480,
+                            kp_angle=None) -> PointMatches:
+    pos_c = se3.transform_points(T_pred, state.pt_pos)
+    z = pos_c[:, 2]
+    uv = se3.project(jnp.asarray(K4), pos_c)
+    in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < width)
+              & (uv[:, 1] >= 0) & (uv[:, 1] < height))
+    vis = state.pt_valid & (z > 0.1) & in_img
+
+    ham = hamming_matrix(kp_desc, state.pt_desc)       # (K, NP)
+    du = jnp.abs(kp_uv[:, 0:1] - uv[None, :, 0])
+    dv = jnp.abs(kp_uv[:, 1:2] - uv[None, :, 1])
+    gate = (du < radius) & (dv < radius) & vis[None, :] & kp_valid[:, None]
+    D = jnp.where(gate, ham, jnp.inf)
+
+    best_pt = jnp.argmin(D, 1)
+    k_idx = jnp.arange(D.shape[0])
+    best_d = D[k_idx, best_pt]
+    ok = best_d <= max_hamming
+    # ambiguity test: a second candidate nearly as good means a repetitive
+    # region -- reject (ORBmatcher's mfNNratio idea); crucial against
+    # window-gate bias feedback on periodic texture
+    masked = D.at[k_idx, best_pt].set(jnp.inf)
+    second = jnp.min(masked, 1)
+    ok &= best_d < 0.85 * second
+    best_kp = jnp.argmin(D, 0)
+    ok &= best_kp[best_pt] == k_idx
+    if kp_angle is not None:
+        dangle = kp_angle - state.pt_angle[best_pt]
+        ok = rotation_consistency(ok, dangle)
+    mp_idx = jnp.where(ok, best_pt.astype(jnp.int32), -1)
+    return PointMatches(mp_idx=mp_idx, n_matches=jnp.sum(ok), visible=vis)
+
+
+@jax.jit
+def match_reference_kf(state: MapState, kf_id, kp_desc, kp_valid,
+                       max_hamming: float = TH_LOW, ratio: float = 0.75
+                       ) -> PointMatches:
+    """Frame <-> keyframe descriptor matching, returning map-point ids
+    through the keyframe's observation table (SearchByBoW capability)."""
+    kdesc = state.kf_desc[kf_id]
+    kvalid = state.kf_kp_valid[kf_id] & (state.kf_mp[kf_id] >= 0)
+    ham = hamming_matrix(kp_desc, kdesc)
+    D = jnp.where(kp_valid[:, None] & kvalid[None, :], ham, jnp.inf)
+    best_j = jnp.argmin(D, 1)
+    k_idx = jnp.arange(D.shape[0])
+    best_d = D[k_idx, best_j]
+    masked = D.at[k_idx, best_j].set(jnp.inf)
+    second = jnp.min(masked, 1)
+    ok = (best_d <= max_hamming) & (best_d < ratio * second)
+    best_i = jnp.argmin(D, 0)
+    ok &= best_i[best_j] == k_idx
+    mp_idx = jnp.where(ok, state.kf_mp[kf_id][best_j], -1)
+    # a map point may win twice through different features; keep first
+    return PointMatches(mp_idx=mp_idx, n_matches=jnp.sum(mp_idx >= 0),
+                        visible=state.pt_valid)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def creation_block_mask(state: MapState, kp_uv, kp_depth, T_cw, K4,
+                        radius: float = 5.0) -> jnp.ndarray:
+    """(K,) bool: a valid map point already projects within `radius` px of
+    this keypoint at a compatible depth -- duplicate-landmark prevention
+    (the role of ORBmatcher::Fuse in SearchInNeighbors,
+    LocalMapping.cc:1039)."""
+    pos_c = se3.transform_points(T_cw, state.pt_pos)
+    uv = se3.project(jnp.asarray(K4), pos_c)
+    z = pos_c[:, 2]
+    ok = state.pt_valid & (z > 0.1)
+    du = jnp.abs(kp_uv[:, 0:1] - uv[None, :, 0])
+    dv = jnp.abs(kp_uv[:, 1:2] - uv[None, :, 1])
+    depth_ratio = kp_depth[:, None] / jnp.maximum(z[None, :], 1e-6)
+    near = ((du < radius) & (dv < radius) & ok[None, :]
+            & (depth_ratio > 0.8) & (depth_ratio < 1.25))
+    return jnp.any(near, axis=1)
+
+
+class PlaneMatches(NamedTuple):
+    match_idx: jnp.ndarray   # (P,) map-plane id or -1 (direct association)
+    par_idx: jnp.ndarray     # (P,) parallel-relation map plane or -1
+    ver_idx: jnp.ndarray     # (P,) vertical-relation map plane or -1
+    obs_world: jnp.ndarray   # (P, 4) observed planes in world frame
+
+
+@jax.jit
+def match_planes(state: MapState, coeffs_c, valid, T_cw,
+                 assoc_ang: float = 0.985, assoc_dis: float = 0.05,
+                 par_th: float = 0.9962, ver_th: float = 0.0871
+                 ) -> PlaneMatches:
+    """PlaneMatcher::SearchMapByCoefficients (PlaneMatcher.cpp:11-94):
+    transform observed planes to world; direct match needs normal angle
+    within acos(assoc_ang) AND min point-to-plane distance < assoc_dis;
+    otherwise best parallel (>par_th) / vertical (<ver_th) relations."""
+    obs_w = jax.vmap(lambda p: se3.plane_to_world(T_cw, p))(coeffs_c)
+    n_obs = obs_w[:, :3]
+    cosang = jnp.abs(n_obs @ state.pl_coef[:, :3].T)       # (P, NF)
+    # min |n_obs . x + d_obs| over each map plane's cloud
+    dist = jnp.abs(jnp.einsum("pc,fqc->pfq", n_obs, state.pl_cloud)
+                   + obs_w[:, 3][:, None, None])
+    dist = jnp.where(state.pl_cloud_valid[None], dist, jnp.inf)
+    mind = jnp.min(dist, -1)                                # (P, NF)
+
+    live = state.pl_valid[None, :] & valid[:, None]
+    direct = live & (cosang > assoc_ang) & (mind < assoc_dis)
+    score = jnp.where(direct, -mind, -jnp.inf)
+    best = jnp.argmax(score, 1).astype(jnp.int32)
+    match_idx = jnp.where(jnp.any(direct, 1), best, -1)
+
+    par = live & (cosang > par_th) & ~direct
+    par_best = jnp.argmax(jnp.where(par, cosang, -jnp.inf), 1).astype(jnp.int32)
+    par_idx = jnp.where(jnp.any(par, 1), par_best, -1)
+
+    ver = live & (cosang < ver_th)
+    ver_best = jnp.argmax(jnp.where(ver, -cosang, -jnp.inf), 1).astype(jnp.int32)
+    ver_idx = jnp.where(jnp.any(ver, 1), ver_best, -1)
+    return PlaneMatches(match_idx=match_idx, par_idx=par_idx, ver_idx=ver_idx,
+                        obs_world=obs_w)
+
+
+class LineMatches(NamedTuple):
+    ml_idx: jnp.ndarray      # (L,) map-line id or -1
+    n_matches: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def match_lines_projection(state: MapState, lf_seg2d, lf_desc, lf_valid,
+                           T_pred, K4, radius: float = 40.0,
+                           max_hamming: float = 90.0,
+                           width: int = 640, height: int = 480
+                           ) -> LineMatches:
+    """LSDmatcher capability: Hamming matmul over binary line descriptors
+    gated by projected midpoint distance."""
+    mid_w = 0.5 * (state.ln_ep[:, :3] + state.ln_ep[:, 3:])
+    mid_c = se3.transform_points(T_pred, mid_w)
+    uv = se3.project(jnp.asarray(K4), mid_c)
+    vis = (state.ln_valid & (mid_c[:, 2] > 0.1)
+           & (uv[:, 0] >= -50) & (uv[:, 0] < width + 50)
+           & (uv[:, 1] >= -50) & (uv[:, 1] < height + 50))
+    mid_f = 0.5 * (lf_seg2d[:, :2] + lf_seg2d[:, 2:])
+    ham = hamming_matrix(lf_desc, state.ln_desc)
+    d2 = jnp.sum((mid_f[:, None] - uv[None]) ** 2, -1)
+    gate = (d2 < radius * radius) & vis[None] & lf_valid[:, None]
+    D = jnp.where(gate, ham, jnp.inf)
+    best = jnp.argmin(D, 1)
+    l_idx = jnp.arange(D.shape[0])
+    ok = D[l_idx, best] <= max_hamming
+    best_rev = jnp.argmin(D, 0)
+    ok &= best_rev[best] == l_idx
+    ml_idx = jnp.where(ok, best.astype(jnp.int32), -1)
+    return LineMatches(ml_idx=ml_idx, n_matches=jnp.sum(ok))
+
+
+@functools.partial(jax.jit, static_argnames=("n_struct",))
+def build_pose_obs(state: MapState, feats: FrameFeatures,
+                   mp_idx: jnp.ndarray, pm: PlaneMatches,
+                   lm_idx: jnp.ndarray, n_struct: int = 16
+                   ) -> PoseObservations:
+    """Assemble the fixed-capacity observation set for pose_optimize."""
+    K = mp_idx.shape[0]
+    ok = mp_idx >= 0
+    ids = jnp.clip(mp_idx, 0)
+    pt_world = state.pt_pos[ids]
+    pt_obs = jnp.concatenate([feats.kp.uv, feats.kp_ur[:, None]], -1)
+    inv_sigma2 = 1.0 / jnp.maximum(feats.kp.sigma2, 1e-6)
+
+    # lines: observed 2D line equation vs matched map line world endpoints
+    lok = lm_idx >= 0
+    lids = jnp.clip(lm_idx, 0)
+    ln_world = state.ln_ep[lids]
+    ln_obs = feats.lines.lineq
+
+    P = pm.match_idx.shape[0]
+    pok = pm.match_idx >= 0
+    pids = jnp.clip(pm.match_idx, 0)
+    pl_world = state.pl_coef[pids]
+    pl_obs = feats.planes.coeffs
+
+    def pad_to(x, n):
+        return jnp.pad(x, [(0, max(0, n - x.shape[0]))] + [(0, 0)] * (x.ndim - 1)
+                       )[:n]
+
+    par_ok = pm.par_idx >= 0
+    ver_ok = pm.ver_idx >= 0
+    par_world = state.pl_coef[jnp.clip(pm.par_idx, 0)]
+    ver_world = state.pl_coef[jnp.clip(pm.ver_idx, 0)]
+
+    return PoseObservations(
+        pt_world=pt_world, pt_obs=pt_obs, pt_inv_sigma2=inv_sigma2,
+        pt_valid=ok & feats.kp.valid,
+        ln_world=ln_world, ln_obs=ln_obs,
+        # cell-grid line endpoints carry a few px of noise: weight ~ 1/sigma^2
+        ln_inv_sigma2=jnp.ones(ln_obs.shape[0]) * 0.25,
+        ln_valid=lok & feats.lines.valid,
+        pl_world=pl_world, pl_obs=pl_obs, pl_valid=pok & feats.planes.valid,
+        par_world=pad_to(par_world, n_struct),
+        par_obs=pad_to(feats.planes.coeffs, n_struct),
+        par_valid=pad_to(par_ok & feats.planes.valid, n_struct),
+        ver_world=pad_to(ver_world, n_struct),
+        ver_obs=pad_to(feats.planes.coeffs, n_struct),
+        ver_valid=pad_to(ver_ok & feats.planes.valid, n_struct),
+    )
+
+
+@jax.jit
+def update_point_stats(state: MapState, visible, mp_idx) -> MapState:
+    """MapPoint IncreaseVisible/IncreaseFound bookkeeping."""
+    found = jnp.zeros_like(state.pt_found).at[jnp.clip(mp_idx, 0)].add(
+        (mp_idx >= 0).astype(jnp.int32))
+    return state._replace(
+        pt_visible=state.pt_visible + visible.astype(jnp.int32),
+        pt_found=state.pt_found + found)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
+                 mp_idx, pm: PlaneMatches, lm_idx, bow, cfg: SlamConfig,
+                 blocked=None) -> tuple[MapState, jnp.ndarray]:
+    """Insert a keyframe; create map points from depth (RGB-D path of
+    CreateNewKeyFrame, Tracking.cc:3040), new map planes/lines; update
+    matched landmark statistics. Returns (state, kf_slot)."""
+    K = cfg.orb.max_keypoints
+    NP = cfg.map.max_points
+    k = state.n_kfs  # keyframes are append-only in round 1 (no KF culling yet)
+    T_wc = se3.inv_T(T_cw)
+    cam_center = T_wc[:3, 3]
+
+    # ---- new map points from depth -----------------------------------------
+    # every unmatched keypoint with valid depth becomes a landmark (RGB-D
+    # depth is metric; the reference's close/far split exists to limit CPU
+    # map growth -- CreateNewKeyFrame adds close points plus the nearest far
+    # ones, Tracking.cc:3040+. Capacity masks bound growth here instead, and
+    # an absolute depth cap rejects the noisiest readings.)
+    creatable = (feats.kp.valid & (feats.kp_depth > 1e-3)
+                 & (feats.kp_depth < 8.0) & (mp_idx < 0))
+    if blocked is not None:
+        creatable &= ~blocked
+    slots_all = _free_slots(state.pt_valid)              # (NP,)
+    rank = jnp.cumsum(creatable) - 1
+    n_free = jnp.sum(~state.pt_valid)
+    can = creatable & (rank < n_free)
+    slot = jnp.where(can, slots_all[jnp.clip(rank, 0, NP - 1)], NP)  # NP=drop
+    pos_w = se3.transform_points(T_wc, feats.kp_xyz)
+    view = pos_w - cam_center
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
+
+    pt_pos = state.pt_pos.at[slot].set(pos_w, mode="drop")
+    pt_normal = state.pt_normal.at[slot].set(view, mode="drop")
+    pt_angle = state.pt_angle.at[slot].set(feats.kp.angle, mode="drop")
+    pt_desc = state.pt_desc.at[slot].set(feats.kp.desc, mode="drop")
+    pt_valid = state.pt_valid.at[slot].set(True, mode="drop")
+    pt_visible = state.pt_visible.at[slot].set(1, mode="drop")
+    pt_found = state.pt_found.at[slot].set(1, mode="drop")
+    pt_first = state.pt_first_kf.at[slot].set(k, mode="drop")
+
+    kf_mp_row = jnp.where(can & (slot < NP), slot.astype(jnp.int32), mp_idx)
+    pt_obs = state.pt_obs_count.at[jnp.clip(kf_mp_row, 0)].add(
+        (kf_mp_row >= 0).astype(jnp.int32))
+    # refresh matched landmarks' descriptors/angles with the current view
+    # (the role of MapPoint::ComputeDistinctiveDescriptors -- keeps
+    # descriptors matchable as the viewpoint departs from creation)
+    m_tgt = jnp.where(mp_idx >= 0, mp_idx, NP)
+    pt_desc = pt_desc.at[m_tgt].set(feats.kp.desc, mode="drop")
+    pt_angle = pt_angle.at[m_tgt].set(feats.kp.angle, mode="drop")
+
+    # ---- write keyframe row -------------------------------------------------
+    state = state._replace(
+        pt_pos=pt_pos, pt_normal=pt_normal, pt_desc=pt_desc,
+        pt_valid=pt_valid, pt_visible=pt_visible, pt_found=pt_found,
+        pt_first_kf=pt_first, pt_obs_count=pt_obs, pt_angle=pt_angle,
+        kf_pose=state.kf_pose.at[k].set(T_cw),
+        kf_valid=state.kf_valid.at[k].set(True),
+        kf_ts=state.kf_ts.at[k].set(ts),
+        kf_uv=state.kf_uv.at[k].set(feats.kp.uv),
+        kf_ur=state.kf_ur.at[k].set(feats.kp_ur),
+        kf_xyz=state.kf_xyz.at[k].set(feats.kp_xyz),
+        kf_desc=state.kf_desc.at[k].set(feats.kp.desc),
+        kf_sigma2=state.kf_sigma2.at[k].set(feats.kp.sigma2),
+        kf_kp_valid=state.kf_kp_valid.at[k].set(feats.kp.valid),
+        kf_mp=state.kf_mp.at[k].set(kf_mp_row),
+        kf_bow=state.kf_bow.at[k].set(bow),
+        n_kfs=state.n_kfs + 1,
+    )
+
+    # ---- planes: update matched, add unmatched ------------------------------
+    Q = cfg.plane.cloud_points
+    cloud_w = se3.transform_points(T_wc, feats.planes.cloud.reshape(-1, 3)
+                                   ).reshape(feats.planes.cloud.shape)
+    matched = pm.match_idx >= 0
+    mids = jnp.clip(pm.match_idx, 0)
+    NF = cfg.map.max_planes
+    mids_w = jnp.where(matched, mids, NF)  # NF = dropped scatter target
+    # running-average coefficients (MapPlane::UpdateCoefficientsAndPoints)
+    w_old = state.pl_obs_count[mids].astype(jnp.float32)[:, None]
+    new_coef = se3.normalize_plane(
+        (state.pl_coef[mids] * w_old + pm.obs_world) / (w_old + 1.0))
+    pl_coef = state.pl_coef.at[mids_w].set(new_coef, mode="drop")
+    # refresh half the cloud slots with new samples (ring offset by obs count)
+    ring = (jnp.arange(Q // 2)[None, :] * 2
+            + state.pl_obs_count[mids][:, None] % 2)
+    take = jnp.arange(Q // 2)[None, :] * 2
+    upd_pts = jnp.take_along_axis(cloud_w, take[..., None].repeat(3, -1), 1)
+    upd_ok = jnp.take_along_axis(feats.planes.cloud_valid, take, 1) & matched[:, None]
+    rows = jnp.where(upd_ok, jnp.broadcast_to(mids[:, None], ring.shape), NF)
+    pl_cloud = state.pl_cloud.at[rows, ring].set(upd_pts, mode="drop")
+    pl_cloud_valid = state.pl_cloud_valid.at[rows, ring].set(True, mode="drop")
+    pl_obs = state.pl_obs_count.at[mids_w].add(1, mode="drop")
+
+    # new planes
+    new_pl = feats.planes.valid & (pm.match_idx < 0)
+    pslots_all = _free_slots(state.pl_valid)
+    prank = jnp.cumsum(new_pl) - 1
+    pfree = jnp.sum(~state.pl_valid)
+    pcan = new_pl & (prank < pfree)
+    pslot = jnp.where(pcan, pslots_all[jnp.clip(prank, 0, NF - 1)], NF)
+    pl_coef = pl_coef.at[pslot].set(pm.obs_world, mode="drop")
+    pl_cloud = pl_cloud.at[pslot].set(cloud_w, mode="drop")
+    pl_cloud_valid = pl_cloud_valid.at[pslot].set(
+        feats.planes.cloud_valid, mode="drop")
+    pl_valid = state.pl_valid.at[pslot].set(True, mode="drop")
+    pl_obs = pl_obs.at[pslot].set(1, mode="drop")
+
+    state = state._replace(pl_coef=pl_coef, pl_cloud=pl_cloud,
+                           pl_cloud_valid=pl_cloud_valid, pl_valid=pl_valid,
+                           pl_obs_count=pl_obs)
+
+    # ---- lines: add unmatched 3D lines, bump matched ------------------------
+    NL = cfg.map.max_lines
+    ep_w = jnp.concatenate([
+        se3.transform_points(T_wc, feats.lines.ep3d[:, :3]),
+        se3.transform_points(T_wc, feats.lines.ep3d[:, 3:])], -1)
+    dir_w = (feats.lines.dir3d @ T_wc[:3, :3].T)
+    lmatched = lm_idx >= 0
+    ln_found = state.ln_found.at[jnp.clip(lm_idx, 0)].add(
+        lmatched.astype(jnp.int32))
+    ln_obs = state.ln_obs_count.at[jnp.clip(lm_idx, 0)].add(
+        lmatched.astype(jnp.int32))
+    new_ln = feats.lines.has3d & (lm_idx < 0)
+    lslots_all = _free_slots(state.ln_valid)
+    lrank = jnp.cumsum(new_ln) - 1
+    lfree = jnp.sum(~state.ln_valid)
+    lcan = new_ln & (lrank < lfree)
+    lslot = jnp.where(lcan, lslots_all[jnp.clip(lrank, 0, NL - 1)], NL)
+    state = state._replace(
+        ln_ep=state.ln_ep.at[lslot].set(ep_w, mode="drop"),
+        ln_dir=state.ln_dir.at[lslot].set(dir_w, mode="drop"),
+        ln_desc=state.ln_desc.at[lslot].set(feats.lines.desc, mode="drop"),
+        ln_valid=state.ln_valid.at[lslot].set(True, mode="drop"),
+        ln_obs_count=ln_obs.at[lslot].set(1, mode="drop"),
+        ln_found=ln_found.at[lslot].set(1, mode="drop"),
+        ln_visible=state.ln_visible.at[lslot].set(1, mode="drop"),
+        n_lns=jnp.sum(state.ln_valid.at[lslot].set(True, mode="drop")),
+        n_pts=jnp.sum(pt_valid),
+    )
+    return state, k
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def cull_map(state: MapState, merge_angle_cos: float = 0.985,
+             merge_dist: float = 0.05) -> MapState:
+    """LocalMapping culling pass:
+    - map points with found/visible < 0.25 after enough sightings die
+      (MapPointCulling, LocalMapping.cc:175)
+    - duplicate planes merge into the older slot (MapPlaneCulling + merge,
+      LocalMapping.cc:239-276)
+    - map lines with poor found/visible die (MapLineCulling)."""
+    vis = jnp.maximum(state.pt_visible, 1)
+    ratio = state.pt_found.astype(jnp.float32) / vis.astype(jnp.float32)
+    bad = state.pt_valid & (state.pt_visible > 8) & (ratio < 0.25)
+    pt_valid = state.pt_valid & ~bad
+
+    lvis = jnp.maximum(state.ln_visible, 1)
+    lratio = state.ln_found.astype(jnp.float32) / lvis.astype(jnp.float32)
+    lbad = state.ln_valid & (state.ln_visible > 8) & (lratio < 0.2)
+    ln_valid = state.ln_valid & ~lbad
+
+    # plane merge: j merges into i if i<j, normals aligned, i's plane passes
+    # through j's cloud
+    n = state.pl_coef[:, :3]
+    cosang = jnp.abs(n @ n.T)
+    dist = jnp.abs(jnp.einsum("ic,jqc->ijq", n, state.pl_cloud)
+                   + state.pl_coef[:, 3][:, None, None])
+    dist = jnp.where(state.pl_cloud_valid[None], dist, jnp.inf)
+    mind = jnp.min(dist, -1)
+    NF = n.shape[0]
+    ii = jnp.arange(NF)
+    dup = (state.pl_valid[:, None] & state.pl_valid[None, :]
+           & (cosang > merge_angle_cos) & (mind < merge_dist)
+           & (ii[:, None] < ii[None, :]))
+    merged_away = jnp.any(dup, 0)
+    pl_valid = state.pl_valid & ~merged_away
+
+    return state._replace(pt_valid=pt_valid, pl_valid=pl_valid,
+                          ln_valid=ln_valid, n_pts=jnp.sum(pt_valid))
+
+
+@jax.jit
+def covisible_keyframes(state: MapState, mp_idx: jnp.ndarray) -> jnp.ndarray:
+    """(NK,) int32: per-keyframe count of shared map points with the given
+    match set -- the covisibility weights used by UpdateLocalKeyFrames
+    (Tracking.cc:3447), computed as one gather+reduce."""
+    NP = state.pt_pos.shape[0]
+    indicator = jnp.zeros(NP + 1, dtype=jnp.int32).at[
+        jnp.where(mp_idx >= 0, mp_idx, NP)].set(1)
+    counts = indicator[jnp.clip(state.kf_mp, 0)] * (state.kf_mp >= 0)
+    return jnp.sum(counts, -1) * state.kf_valid

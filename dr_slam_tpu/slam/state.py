@@ -1,0 +1,105 @@
+"""Functional map state: fixed-capacity arrays + validity masks.
+
+The reference map is a pointer graph guarded by mutexes (src/Map.cc,
+include/Map.h:125-131: sets of KeyFrame*/MapPoint*/MapLine*/MapPlane* with
+per-object observation maps, plus the global mMutexMapUpdate held across the
+whole Track(), src/Tracking.cc:255). The TPU-native design is an immutable
+pytree of capacity-bounded device arrays advanced by jitted steps from a
+single-writer host orchestrator -- no locks, no pointers:
+
+- map points    : SoA arrays, slot-indexed; `pt_valid` is the liveness mask
+- keyframes     : per-KF feature tables; `kf_mp[k, j]` = map-point id seen by
+                  feature j of keyframe k (-1 if none) -- this table IS the
+                  observation graph (covisibility is one gather+reduce away)
+- planes        : world coefficients + bounded sample clouds (the role of the
+                  reference's voxel-downsampled per-plane clouds,
+                  MapPlane::UpdateCoefficientsAndPoints)
+- lines         : world endpoint pairs + LBD-style descriptors
+- Manhattan     : R_wm, the Manhattan axes in world coordinates
+                  (Map::SetRmc equivalent, src/Map.cc:124-146)
+
+Counters (n_pts, n_kfs, ...) are device scalars so allocation happens inside
+jit; the host reads them back only for control-flow decisions."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from dr_slam_tpu.config import SlamConfig
+
+
+class MapState(NamedTuple):
+    # --- map points (MapPoint equivalent, include/MapPoint.h) --------------
+    pt_pos: jnp.ndarray        # (NP, 3) world
+    pt_normal: jnp.ndarray     # (NP, 3) mean viewing direction
+    pt_desc: jnp.ndarray       # (NP, 8) uint32 distinctive descriptor
+    pt_valid: jnp.ndarray      # (NP,) bool
+    pt_visible: jnp.ndarray    # (NP,) int32 -- times predicted visible
+    pt_found: jnp.ndarray      # (NP,) int32 -- times actually matched
+    pt_obs_count: jnp.ndarray  # (NP,) int32 -- # keyframes observing
+    pt_first_kf: jnp.ndarray   # (NP,) int32
+    pt_angle: jnp.ndarray      # (NP,) keypoint orientation at creation (rad)
+    # --- keyframes (KeyFrame equivalent, include/KeyFrame.h) ---------------
+    kf_pose: jnp.ndarray       # (NK, 4, 4) T_cw
+    kf_valid: jnp.ndarray      # (NK,) bool
+    kf_ts: jnp.ndarray         # (NK,) float64-ish timestamp (f32 ok for tests)
+    kf_uv: jnp.ndarray         # (NK, K, 2)
+    kf_ur: jnp.ndarray         # (NK, K) stereo right coord (-1 mono)
+    kf_xyz: jnp.ndarray        # (NK, K, 3) camera-frame backprojections
+    kf_desc: jnp.ndarray       # (NK, K, 8) uint32
+    kf_sigma2: jnp.ndarray     # (NK, K) scale^2
+    kf_kp_valid: jnp.ndarray   # (NK, K) bool
+    kf_mp: jnp.ndarray         # (NK, K) int32 map-point id or -1
+    kf_bow: jnp.ndarray        # (NK, W) float32 tf-idf BoW vector
+    # --- map planes (MapPlane equivalent, include/MapPlane.h) --------------
+    pl_coef: jnp.ndarray       # (NF, 4) world (n, d) normalized
+    pl_valid: jnp.ndarray      # (NF,) bool
+    pl_cloud: jnp.ndarray      # (NF, Q, 3) world sample cloud
+    pl_cloud_valid: jnp.ndarray  # (NF, Q)
+    pl_obs_count: jnp.ndarray  # (NF,) int32
+    # --- map lines (MapLine equivalent, include/MapLine.h) -----------------
+    ln_ep: jnp.ndarray         # (NL, 6) world endpoints
+    ln_dir: jnp.ndarray        # (NL, 3) world direction
+    ln_desc: jnp.ndarray       # (NL, 8) uint32
+    ln_valid: jnp.ndarray      # (NL,) bool
+    ln_obs_count: jnp.ndarray  # (NL,) int32
+    ln_visible: jnp.ndarray    # (NL,) int32
+    ln_found: jnp.ndarray      # (NL,) int32
+    # --- Manhattan frame ----------------------------------------------------
+    R_wm: jnp.ndarray          # (3, 3) Manhattan axes in world coordinates
+    manhattan_ok: jnp.ndarray  # () bool
+    # --- counters ------------------------------------------------------------
+    n_pts: jnp.ndarray         # () int32
+    n_kfs: jnp.ndarray         # () int32
+    n_lns: jnp.ndarray         # () int32
+
+
+def make_empty_state(cfg: SlamConfig) -> MapState:
+    m = cfg.map
+    K = cfg.orb.max_keypoints
+    NP, NK, NF, NL, Q, W = (m.max_points, m.max_keyframes, m.max_planes,
+                            m.max_lines, cfg.plane.cloud_points, m.vocab_words)
+    z = jnp.zeros
+    return MapState(
+        pt_pos=z((NP, 3)), pt_normal=z((NP, 3)),
+        pt_desc=z((NP, 8), jnp.uint32), pt_valid=z(NP, bool),
+        pt_visible=z(NP, jnp.int32), pt_found=z(NP, jnp.int32),
+        pt_obs_count=z(NP, jnp.int32), pt_first_kf=z(NP, jnp.int32),
+        pt_angle=z(NP),
+        kf_pose=jnp.tile(jnp.eye(4)[None], (NK, 1, 1)), kf_valid=z(NK, bool),
+        kf_ts=z(NK), kf_uv=z((NK, K, 2)), kf_ur=z((NK, K)),
+        kf_xyz=z((NK, K, 3)), kf_desc=z((NK, K, 8), jnp.uint32),
+        kf_sigma2=jnp.ones((NK, K)), kf_kp_valid=z((NK, K), bool),
+        kf_mp=jnp.full((NK, K), -1, jnp.int32), kf_bow=z((NK, W)),
+        pl_coef=z((NF, 4)).at[:, 2].set(1.0), pl_valid=z(NF, bool),
+        pl_cloud=z((NF, Q, 3)), pl_cloud_valid=z((NF, Q), bool),
+        pl_obs_count=z(NF, jnp.int32),
+        ln_ep=z((NL, 6)), ln_dir=z((NL, 3)), ln_desc=z((NL, 8), jnp.uint32),
+        ln_valid=z(NL, bool), ln_obs_count=z(NL, jnp.int32),
+        ln_visible=z(NL, jnp.int32), ln_found=z(NL, jnp.int32),
+        R_wm=jnp.eye(3), manhattan_ok=jnp.asarray(False),
+        n_pts=jnp.asarray(0, jnp.int32), n_kfs=jnp.asarray(0, jnp.int32),
+        n_lns=jnp.asarray(0, jnp.int32),
+    )

@@ -1,0 +1,138 @@
+"""System facade: the public API mirroring the reference's System class.
+
+Reference: include/System.h:70-80 / src/System.cc -- construct with settings,
+feed frames with TrackRGBD (System.cc:284), switch localization-only mode
+(:338), save trajectories (:379-562), save/load the map (Map::Save/Load via
+System), shutdown. Same surface here, minus threads: LocalMapping's culling
+runs synchronously at keyframe insertion (the reference's LocalBundle-
+Adjustment call is disabled in this revision anyway, LocalMapping.cc:67-69),
+and LoopClosing runs as an explicit per-keyframe detection step."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from dr_slam_tpu.config import SlamConfig, load_config
+from dr_slam_tpu.io.metrics import MetricsLogger
+from dr_slam_tpu.io.trajectory import (save_keyframe_trajectory_tum,
+                                       save_trajectory_manhattan,
+                                       save_trajectory_tum)
+from dr_slam_tpu.slam.tracking import Tracker, TrackState
+
+
+class System:
+    """DR-SLAM-TPU system facade."""
+
+    def __init__(self, config: SlamConfig | str | None = None,
+                 use_viewer: bool = False, metrics_path: str | None = None,
+                 enable_loop_closing: bool = True):
+        if isinstance(config, str):
+            config = load_config(config)
+        self.cfg = config or SlamConfig()
+        self.metrics = MetricsLogger(metrics_path)
+        self.tracker = Tracker(self.cfg, metrics=self.metrics)
+        self.only_tracking = False
+        self.enable_loop_closing = enable_loop_closing
+        self._loop_closer = None
+        self._viewer = None
+        if use_viewer or self.cfg.viewer.use_viewer:
+            from dr_slam_tpu.viz.viewer import Viewer
+            self._viewer = Viewer(self)
+
+    # -- main API ----------------------------------------------------------
+    def track_rgbd(self, gray, depth, timestamp: float):
+        """Process one RGB-D frame; returns the TrackingResult (with T_cw).
+
+        Reference: System::TrackRGBD (System.cc:284) -> Tracking::
+        GrabImageRGBD (Tracking.cc:191). Color conversion/resizing is the
+        caller's job here; gray is (H, W) [0,255], depth (H, W) meters."""
+        if self.only_tracking:
+            res = self.tracker.process_localization_only(gray, depth, timestamp) \
+                if hasattr(self.tracker, "process_localization_only") \
+                else self.tracker.process_frame(gray, depth, timestamp)
+        else:
+            res = self.tracker.process_frame(gray, depth, timestamp)
+        if res.is_keyframe and self.enable_loop_closing:
+            self._run_loop_closing()
+        if self._viewer is not None:
+            self._viewer.update(res)
+        return res
+
+    def _run_loop_closing(self):
+        try:
+            from dr_slam_tpu.slam.loop_closing import LoopCloser
+        except ImportError:
+            return
+        if self._loop_closer is None:
+            self._loop_closer = LoopCloser(self.cfg)
+        new_state, corrected = self._loop_closer.process(
+            self.tracker.map_state, self.tracker.ref_kf)
+        if corrected:
+            self.tracker.map_state = new_state
+            self.metrics.log("loop_closed", kf=self.tracker.ref_kf)
+
+    # -- modes (System.cc:338-354) ------------------------------------------
+    def activate_localization_mode(self):
+        self.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.only_tracking = False
+
+    def reset(self):
+        self.tracker = Tracker(self.cfg, metrics=self.metrics)
+
+    # -- state ----------------------------------------------------------------
+    @property
+    def track_state(self) -> TrackState:
+        return self.tracker.state
+
+    def map_summary(self) -> dict:
+        st = self.tracker.map_state
+        return {
+            "n_keyframes": int(st.n_kfs),
+            "n_points": int(np.asarray(st.pt_valid).sum()),
+            "n_planes": int(np.asarray(st.pl_valid).sum()),
+            "n_lines": int(np.asarray(st.ln_valid).sum()),
+            "manhattan": bool(st.manhattan_ok),
+        }
+
+    def block_until_ready(self):
+        jax.block_until_ready(self.tracker.map_state)
+
+    # -- savers (System.cc:379-562) -------------------------------------------
+    def save_trajectory_tum(self, path: str):
+        ts = [t for t, _ in self.tracker.trajectory]
+        poses = [p for _, p in self.tracker.trajectory]
+        save_trajectory_tum(path, ts, poses)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        ts = [t for t, _ in self.tracker.kf_log]
+        poses = [p for _, p in self.tracker.kf_log]
+        save_keyframe_trajectory_tum(path, ts, poses)
+
+    def save_trajectory_manhattan(self, path: str):
+        ts = [t for t, _ in self.tracker.trajectory]
+        poses = [p for _, p in self.tracker.trajectory]
+        R_wm = np.asarray(self.tracker.map_state.R_wm)
+        save_trajectory_manhattan(path, ts, poses, R_mw=R_wm.T)
+
+    def save_map(self, path: str):
+        from dr_slam_tpu.io.map_io import save_map
+        save_map(path, self.tracker.map_state)
+
+    def load_map(self, path: str):
+        from dr_slam_tpu.io.map_io import load_map
+        self.tracker.map_state = load_map(path, self.cfg)
+        self.tracker.state = TrackState.LOST  # relocalize into the map
+
+    def shutdown(self, save_dir: Optional[str] = None):
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            self.save_trajectory_tum(os.path.join(save_dir, "CameraTrajectory.txt"))
+            self.save_keyframe_trajectory_tum(
+                os.path.join(save_dir, "KeyFrameTrajectory.txt"))
+        self.metrics.close()

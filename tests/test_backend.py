@@ -1,0 +1,185 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dr_slam_tpu.geometry import se3
+from dr_slam_tpu.optimize.global_ba import BAProblem, bundle_adjust
+from dr_slam_tpu.optimize.pnp import pnp_ransac
+from dr_slam_tpu.optimize.pose_graph import PoseGraph, optimize_pose_graph
+from dr_slam_tpu.optimize.sim3 import horn_align, sim3_ransac
+
+K4 = (200.0, 200.0, 160.0, 120.0)
+
+
+def test_horn_align_exact():
+    rng = np.random.RandomState(0)
+    a = rng.randn(20, 3).astype(np.float32)
+    R = np.asarray(se3.so3_exp(jnp.array([0.2, -0.5, 0.3])))
+    t = np.array([1.0, -2.0, 0.5], dtype=np.float32)
+    b = a @ R.T + t
+    R2, t2, s2 = horn_align(jnp.asarray(a), jnp.asarray(b), jnp.ones(20))
+    np.testing.assert_allclose(np.asarray(R2), R, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t2), t, atol=1e-4)
+
+
+def test_sim3_ransac_with_outliers():
+    rng = np.random.RandomState(1)
+    a = rng.uniform(-2, 2, (64, 3)).astype(np.float32)
+    R = np.asarray(se3.so3_exp(jnp.array([0.1, 0.3, -0.2])))
+    t = np.array([0.5, 0.2, -1.0], dtype=np.float32)
+    b = a @ R.T + t
+    b[:20] += rng.uniform(0.5, 2.0, (20, 3))  # outliers
+    T, s, n_inl = sim3_ransac(jnp.asarray(a), jnp.asarray(b),
+                              jnp.ones(64, dtype=bool), inlier_dist=0.05)
+    assert int(n_inl) >= 40
+    np.testing.assert_allclose(np.asarray(T[:3, :3]), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(T[:3, 3]), t, atol=1e-3)
+
+
+def test_pnp_ransac():
+    rng = np.random.RandomState(2)
+    pts = rng.uniform([-2, -2, 2], [2, 2, 6], (100, 3)).astype(np.float32)
+    T_true = np.asarray(se3.se3_exp(jnp.array([0.2, -0.1, 0.3, 0.1, -0.2, 0.15])),
+                        dtype=np.float32)
+    Xc = pts @ T_true[:3, :3].T + T_true[:3, 3]
+    uv = np.stack([K4[0] * Xc[:, 0] / Xc[:, 2] + K4[2],
+                   K4[1] * Xc[:, 1] / Xc[:, 2] + K4[3]], -1).astype(np.float32)
+    uv[:25] += 50.0  # outliers
+    T, n_inl = pnp_ransac(jnp.asarray(pts), jnp.asarray(uv),
+                          jnp.ones(100, dtype=bool), K4)
+    assert int(n_inl) >= 70
+    E = np.asarray(T) @ np.linalg.inv(T_true)
+    assert np.linalg.norm(E[:3, 3]) < 0.02
+    ang = np.arccos(np.clip((np.trace(E[:3, :3]) - 1) / 2, -1, 1))
+    assert ang < 0.01
+
+
+def _ring_poses(n, radius=2.0):
+    poses = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        c, s = np.cos(th), np.sin(th)
+        R_wc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        t_wc = np.array([radius * np.sin(th), 0.0, -radius * np.cos(th)])
+        T_wc = np.eye(4)
+        T_wc[:3, :3] = R_wc
+        T_wc[:3, 3] = t_wc
+        poses.append(np.linalg.inv(T_wc))
+    return np.asarray(poses, dtype=np.float32)
+
+
+def test_pose_graph_closes_loop():
+    """Odometry drift on a ring; the loop edge pulls it closed."""
+    n = 16
+    gt = _ring_poses(n)
+    # corrupt: accumulate noisy odometry
+    noisy = [gt[0]]
+    rng = np.random.RandomState(3)
+    for i in range(1, n):
+        rel = gt[i] @ np.linalg.inv(gt[i - 1])
+        pert = np.asarray(se3.se3_exp(jnp.asarray(
+            0.02 * rng.randn(6), dtype=jnp.float32)))
+        noisy.append(pert @ rel @ noisy[-1])
+    noisy = np.asarray(noisy, dtype=np.float32)
+    drift = np.linalg.norm(np.linalg.inv(noisy[-1])[:3, 3]
+                           - np.linalg.inv(gt[-1])[:3, 3])
+
+    ei = list(range(0, n - 1)) + [n - 1]
+    ej = list(range(1, n)) + [0]
+    T_ij = [gt[i] @ np.linalg.inv(gt[j]) for i, j in zip(ei, ej)]
+    g = PoseGraph(
+        poses=jnp.asarray(noisy), pose_valid=jnp.ones(n, dtype=bool),
+        edge_i=jnp.asarray(ei, dtype=jnp.int32),
+        edge_j=jnp.asarray(ej, dtype=jnp.int32),
+        edge_T_ij=jnp.asarray(np.asarray(T_ij), dtype=jnp.float32),
+        edge_valid=jnp.ones(n, dtype=bool),
+        edge_weight=jnp.ones(n),
+        fixed=jnp.zeros(n, dtype=bool).at[0].set(True))
+    out = np.asarray(optimize_pose_graph(g))
+    err = [np.linalg.norm(np.linalg.inv(out[i])[:3, 3]
+                          - np.linalg.inv(gt[i])[:3, 3]) for i in range(n)]
+    assert max(err) < drift / 2, (max(err), drift)
+    assert max(err) < 0.05, err
+
+
+def test_bundle_adjust_reduces_error():
+    rng = np.random.RandomState(4)
+    NK, NP = 4, 64
+    pts = rng.uniform([-1, -1, 2], [1, 1, 5], (NP, 3)).astype(np.float32)
+    gt_poses = []
+    for k in range(NK):
+        gt_poses.append(np.asarray(
+            se3.se3_exp(jnp.asarray([0.1 * k, 0.02 * k, 0.05 * k,
+                                     0.0, 0.03 * k, 0.0], dtype=jnp.float32))))
+    gt_poses = np.asarray(gt_poses, dtype=np.float32)
+    obs_kf = np.repeat(np.arange(NK, dtype=np.int32), NP)
+    obs_pt = np.tile(np.arange(NP, dtype=np.int32), NK)
+    Xc = np.einsum("mij,mj->mi", gt_poses[obs_kf][:, :3, :3], pts[obs_pt]) \
+        + gt_poses[obs_kf][:, :3, 3]
+    uv = np.stack([K4[0] * Xc[:, 0] / Xc[:, 2] + K4[2],
+                   K4[1] * Xc[:, 1] / Xc[:, 2] + K4[3]], -1).astype(np.float32)
+    uv += 0.2 * rng.randn(*uv.shape).astype(np.float32)
+
+    # perturb initial guesses
+    poses0 = gt_poses.copy()
+    for k in range(1, NK):
+        poses0[k] = np.asarray(se3.se3_exp(jnp.asarray(
+            0.03 * rng.randn(6), dtype=jnp.float32))) @ poses0[k]
+    pts0 = pts + 0.05 * rng.randn(NP, 3).astype(np.float32)
+
+    p = BAProblem(
+        kf_pose=jnp.asarray(poses0), pt_pos=jnp.asarray(pts0),
+        obs_kf=jnp.asarray(obs_kf), obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(uv), obs_z=jnp.zeros(len(obs_kf)),
+        obs_inv_sigma2=jnp.ones(len(obs_kf)),
+        obs_valid=jnp.ones(len(obs_kf), dtype=bool),
+        kf_free=jnp.asarray([False, True, True, True]),
+        pt_free=jnp.ones(NP, dtype=bool))
+    T_out, X_out = bundle_adjust(p, K4, n_gn_iters=6, n_cg_iters=30)
+
+    def reproj_rmse(T_all, X_all):
+        Xc = np.einsum("mij,mj->mi", np.asarray(T_all)[obs_kf][:, :3, :3],
+                       np.asarray(X_all)[obs_pt]) \
+            + np.asarray(T_all)[obs_kf][:, :3, 3]
+        pu = np.stack([K4[0] * Xc[:, 0] / Xc[:, 2] + K4[2],
+                       K4[1] * Xc[:, 1] / Xc[:, 2] + K4[3]], -1)
+        return float(np.sqrt(((pu - uv) ** 2).sum(-1).mean()))
+
+    before = reproj_rmse(poses0, pts0)
+    after = reproj_rmse(T_out, X_out)
+    assert after < before / 5, (before, after)
+    assert after < 1.0, after  # ~ at the noise floor
+
+
+def test_sharded_ba_matches_single_device():
+    """Same BA problem, 8-device sharded vs single: same result."""
+    import jax
+
+    from dr_slam_tpu.parallel import sharded_ba
+
+    rng = np.random.RandomState(5)
+    NK, NP = 3, 32
+    pts = rng.uniform([-1, -1, 2], [1, 1, 4], (NP, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (NK, 1, 1))
+    for k in range(NK):
+        poses[k, 0, 3] = 0.05 * k
+    obs_kf = np.repeat(np.arange(NK, dtype=np.int32), NP)
+    obs_pt = np.tile(np.arange(NP, dtype=np.int32), NK)
+    Xc = np.einsum("mij,mj->mi", poses[obs_kf][:, :3, :3], pts[obs_pt]) \
+        + poses[obs_kf][:, :3, 3]
+    uv = np.stack([K4[0] * Xc[:, 0] / Xc[:, 2] + K4[2],
+                   K4[1] * Xc[:, 1] / Xc[:, 2] + K4[3]], -1).astype(np.float32)
+    pts0 = pts + 0.03 * rng.randn(NP, 3).astype(np.float32)
+    p = BAProblem(
+        kf_pose=jnp.asarray(poses), pt_pos=jnp.asarray(pts0),
+        obs_kf=jnp.asarray(obs_kf), obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(uv), obs_z=jnp.zeros(len(obs_kf)),
+        obs_inv_sigma2=jnp.ones(len(obs_kf)),
+        obs_valid=jnp.ones(len(obs_kf), dtype=bool),
+        kf_free=jnp.zeros(NK, dtype=bool),
+        pt_free=jnp.ones(NP, dtype=bool))
+    T1, X1 = bundle_adjust(p, K4, n_gn_iters=3, n_cg_iters=15)
+    mesh = sharded_ba.make_mesh(8, axis="obs")
+    T8, X8 = sharded_ba.sharded_bundle_adjust(p, K4, mesh, n_gn_iters=3,
+                                              n_cg_iters=15)
+    np.testing.assert_allclose(np.asarray(X8), np.asarray(X1), atol=1e-3)

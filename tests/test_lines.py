@@ -1,0 +1,68 @@
+import jax.numpy as jnp
+import numpy as np
+
+from dr_slam_tpu.ops import lines as line_ops
+
+K4 = (200.0, 200.0, 128.0, 96.0)
+
+
+def synthetic_line_image(h=192, w=256):
+    """Dark background with a bright band (two strong parallel edges) and a
+    vertical edge."""
+    img = np.full((h, w), 40.0, dtype=np.float32)
+    # horizontal band across the image at y ~ 60..70
+    img[60:70, 20:236] = 220.0
+    # vertical edge: bright region right of x=180
+    img[110:180, 180:] = 160.0
+    return img
+
+
+def test_extract_lines_finds_edges():
+    img = jnp.asarray(synthetic_line_image())
+    depth = jnp.full(img.shape, 2.0)
+    lf = line_ops.extract_lines(img, depth, K4, max_lines=16)
+    v = np.asarray(lf.valid)
+    assert v.sum() >= 2, v.sum()
+    segs = np.asarray(lf.seg2d)[v]
+    # at least one near-horizontal long segment around y=60 or y=70
+    found_h = False
+    for x1, y1, x2, y2 in segs:
+        if abs(y2 - y1) < 6 and abs(x2 - x1) > 80 and (abs(y1 - 60) < 8 or abs(y1 - 70) < 8):
+            found_h = True
+    assert found_h, segs
+
+
+def test_extract_lines_3d_direction():
+    """Line on a fronto-parallel plane at z=2: 3D direction ~ image direction."""
+    img = jnp.asarray(synthetic_line_image())
+    depth = jnp.full(img.shape, 2.0)
+    lf = line_ops.extract_lines(img, depth, K4, max_lines=16)
+    v = np.asarray(lf.valid & lf.has3d)
+    assert v.sum() >= 1
+    for i in np.where(v)[0]:
+        d3 = np.asarray(lf.dir3d[i])
+        assert abs(d3[2]) < 0.1, d3  # in-plane line: no z component
+        ep = np.asarray(lf.ep3d[i])
+        assert abs(ep[2] - 2.0) < 0.05 and abs(ep[5] - 2.0) < 0.05
+
+
+def test_extract_lines_none_on_flat():
+    img = jnp.full((192, 256), 100.0)
+    depth = jnp.full((192, 256), 2.0)
+    lf = line_ops.extract_lines(img, depth, K4, max_lines=16)
+    assert int(np.asarray(lf.valid).sum()) == 0
+
+
+def test_line_descriptor_stable_under_shift():
+    img = synthetic_line_image()
+    img2 = np.roll(img, 3, axis=1)
+    depth = jnp.full(img.shape, 2.0)
+    lf1 = line_ops.extract_lines(jnp.asarray(img), depth, K4, max_lines=16)
+    lf2 = line_ops.extract_lines(jnp.asarray(img2), depth, K4, max_lines=16)
+    from dr_slam_tpu.ops import hamming
+    d = hamming.hamming_matrix(lf1.desc, lf2.desc)
+    d = np.asarray(jnp.where(lf1.valid[:, None] & lf2.valid[None, :], d, jnp.inf))
+    v1 = np.asarray(lf1.valid)
+    # each valid line in frame1 has a close match in frame2
+    best = d.min(axis=1)[v1]
+    assert (best < 80).mean() > 0.6, best
