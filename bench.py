@@ -50,15 +50,18 @@ def bench_tracking(n_frames: int = 60) -> float | None:
                                       K4=cfg.camera.K4)
     sys_ = System(cfg)
     frames = [seq[i] for i in range(n_frames)]
-    # warmup on first few frames (compiles all jits)
-    for fr in frames[:3]:
+    # warmup must cover every jit: normal tracking AND a keyframe insertion
+    # (first KF happens at min_frames) -- otherwise compiles land in the
+    # timed region
+    warm = min(cfg.tracking.min_frames + 3, n_frames - 10)
+    for fr in frames[:warm]:
         sys_.track_rgbd(fr.gray, fr.depth, fr.timestamp)
     t0 = time.perf_counter()
-    for fr in frames[3:]:
+    for fr in frames[warm:]:
         sys_.track_rgbd(fr.gray, fr.depth, fr.timestamp)
     sys_.block_until_ready()
     dt = time.perf_counter() - t0
-    return (n_frames - 3) / dt
+    return (n_frames - warm) / dt
 
 
 def main():

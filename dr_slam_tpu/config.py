@@ -122,6 +122,7 @@ class TrackingConfig:
     # aliasing (a band's two edges) can pull the pose laterally; keep lines
     # in the map/matching but out of the per-frame solve by default.
     use_lines_in_pose: bool = False
+    use_planes_in_pose: bool = True
     use_ref_kf_anchor: bool = False   # brute-force matches alias on repetitive texture
     run_ba_on_keyframe: bool = True
     run_cull_on_keyframe: bool = True

@@ -36,28 +36,34 @@ def vee(W):
 
 
 def so3_exp(w):
-    """Rodrigues: (...,3) -> (...,3,3). Numerically safe at theta=0."""
+    """Rodrigues: (...,3) -> (...,3,3). Numerically safe at theta=0, with
+    safe denominators in the untaken where-branches (autodiff evaluates
+    both; 0/0 there poisons vjp with NaN)."""
     theta2 = jnp.sum(w * w, -1, keepdims=True)[..., None]
-    theta = jnp.sqrt(theta2 + _EPS)
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    # Taylor-safe coefficients.
-    small = theta2 < 1e-8
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
     return I + a * W + b * (W @ W)
 
 
 def so3_log(R):
-    """(...,3,3) -> (...,3). Safe near identity and pi."""
-    tr = jnp.trace(R, axis1=-2, axis2=-1)
-    cos = jnp.clip((tr - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
-    theta = jnp.arccos(cos)
-    w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5
-    sin = jnp.sin(theta)
-    scale = jnp.where(theta[..., None] < 1e-6, 1.0 + theta[..., None] ** 2 / 6.0,
-                      theta[..., None] / jnp.maximum(sin[..., None], _EPS))
-    return w * scale
+    """(...,3,3) -> (...,3). atan2 form: smooth gradients near identity
+    (the arccos form's derivative blows up as cos -> 1, which poisons
+    autodiff Jacobians of pose-graph residuals at small errors)."""
+    w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5   # axis * sin(theta)
+    # norm with a floor: d|w|/dw at w=0 is NaN otherwise (poisons vjp)
+    s = jnp.sqrt(jnp.sum(w * w, -1) + 1e-20)     # sin(theta), >= 1e-10
+    c = (jnp.trace(R, axis1=-2, axis2=-1) - 1.0) / 2.0
+    theta = jnp.arctan2(s, c)
+    small = s < 1e-5
+    safe_s = jnp.where(small, 1.0, s)
+    scale = jnp.where(small, 1.0 + (1.0 - c) / 3.0, theta / safe_s)
+    return w * scale[..., None]
 
 
 def se3_exp(xi):
@@ -66,13 +72,15 @@ def se3_exp(xi):
     Returns (...,4,4). Same ordering as g2o SE3Quat::exp (upsilon, omega)."""
     rho, phi = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(phi * phi, -1, keepdims=True)[..., None]
-    theta = jnp.sqrt(theta2 + _EPS)
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = hat(phi)
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    small = theta2 < 1e-8
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / theta2_safe)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2_safe)
     R = I + a * W + b * (W @ W)
     V = I + b * W + c * (W @ W)
     t = (V @ rho[..., None])[..., 0]
@@ -80,18 +88,23 @@ def se3_exp(xi):
 
 
 def se3_log(T):
-    """(...,4,4) -> (...,6) as [rho, phi]."""
+    """(...,4,4) -> (...,6) as [rho, phi].
+
+    The small-angle branch feeds SAFE values into the untaken branch of each
+    where (1/theta^2 at theta=0 is inf and poisons autodiff through where)."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     phi = so3_log(R)
     theta2 = jnp.sum(phi * phi, -1, keepdims=True)[..., None]
-    theta = jnp.sqrt(theta2 + _EPS)
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     W = hat(phi)
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
-    small = theta2 < 1e-8
     half = theta / 2.0
-    cot = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
-                    (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS)) / theta2)
+    cot_big = (1.0 - half * jnp.cos(half)
+               / jnp.maximum(jnp.sin(half), _EPS)) / theta2_safe
+    cot = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, cot_big)
     Vinv = I - 0.5 * W + cot * (W @ W)
     rho = (Vinv @ t[..., None])[..., 0]
     return jnp.concatenate([rho, phi], -1)

@@ -80,7 +80,8 @@ class PoseOptResult(NamedTuple):
 
 
 def _all_residuals(T, obs: PoseObservations, K4, bf, masks, huber_on,
-                   angle_info, dist_info, plane_chi2, vp_chi2, struct_on):
+                   angle_info, dist_info, plane_chi2, vp_chi2, struct_on,
+                   prior_T=None, prior_w=None):
     """Flat weighted residual vector + weight vector + per-edge chi2s."""
     pt_m, ln_m, pl_m = masks
     r_pt, i_pt, c_pt, is_st = res.point_residuals(
@@ -111,25 +112,42 @@ def _all_residuals(T, obs: PoseObservations, K4, bf, masks, huber_on,
     w_par = i_par * huber_w(c_par, vp_chi2)[..., None]
     w_ver = i_ver * huber_w(c_ver, vp_chi2)[..., None]
 
-    r = jnp.concatenate([x.reshape(-1) for x in
-                         (r_pt, r_ln, r_pl, r_par, r_ver)])
-    w = jnp.concatenate([x.reshape(-1) for x in
-                         (w_pt, w_ln, w_pl, w_par, w_ver)])
+    parts_r = [r_pt, r_ln, r_pl, r_par, r_ver]
+    parts_w = [w_pt, w_ln, w_pl, w_par, w_ver]
+    if prior_T is not None:
+        # weak motion prior: log(T T_prior^-1), damps escapes into rotated
+        # pseudo-minima when scene observability is marginal
+        r_prior = se3.se3_log(T @ se3.inv_T(prior_T))
+        parts_r.append(r_prior)
+        parts_w.append(prior_w)
+    r = jnp.concatenate([x.reshape(-1) for x in parts_r])
+    w = jnp.concatenate([x.reshape(-1) for x in parts_w])
     return r, w, (c_pt, c_ln, c_pl, is_st)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("translation_only", "n_rounds", "n_iters", "struct_on"))
+    static_argnames=("translation_only", "n_rounds", "n_iters", "struct_on",
+                     "prior_sigma_t", "prior_sigma_r"))
 def pose_optimize(T_init: jnp.ndarray, obs: PoseObservations, K4, bf: float,
                   translation_only: bool = False, struct_on: bool = False,
                   n_rounds: int = 4, n_iters: int = 10,
                   angle_info: float = 0.5, dist_info: float = 50.0,
                   plane_chi2: float = 100.0, vp_chi2: float = 50.0,
-                  damping: float = 1e-5) -> PoseOptResult:
-    """Optimize T_cw against the observation set. See module docstring."""
+                  damping: float = 1e-5,
+                  prior_sigma_t: float = 0.0,
+                  prior_sigma_r: float = 0.0) -> PoseOptResult:
+    """Optimize T_cw against the observation set. See module docstring.
+
+    prior_sigma_t/_r > 0 adds a weak SE3 prior around T_init with the given
+    translation (m) / rotation (rad) standard deviations."""
     K4 = jnp.asarray(K4, dtype=jnp.float32)
     dim = 3 if translation_only else 6
+    use_prior = prior_sigma_t > 0 and prior_sigma_r > 0
+    prior_T = T_init if use_prior else None
+    prior_w = (jnp.asarray([1.0 / prior_sigma_t ** 2] * 3
+                           + [1.0 / prior_sigma_r ** 2] * 3)
+               if use_prior else None)
 
     def lift(xi):
         if translation_only:
@@ -140,7 +158,8 @@ def pose_optimize(T_init: jnp.ndarray, obs: PoseObservations, K4, bf: float,
         def f(xi):
             r, w, _ = _all_residuals(lift(xi) @ T, obs, K4, bf, masks,
                                      huber_on, angle_info, dist_info,
-                                     plane_chi2, vp_chi2, struct_on)
+                                     plane_chi2, vp_chi2, struct_on,
+                                     prior_T, prior_w)
             return r, w
 
         (r0, w0), = [f(jnp.zeros(dim))]
@@ -161,7 +180,7 @@ def pose_optimize(T_init: jnp.ndarray, obs: PoseObservations, K4, bf: float,
             (jnp.ones_like(obs.pt_valid), jnp.ones_like(obs.ln_valid),
              jnp.ones_like(obs.pl_valid)),
             jnp.asarray(0.0), angle_info, dist_info, plane_chi2, vp_chi2,
-            struct_on)
+            struct_on, prior_T, prior_w)
         th_pt = jnp.where(is_st, CHI2_STEREO, CHI2_MONO)
         pt_m = c_pt < th_pt
         ln_m = c_ln < CHI2_LINE * 2.0
@@ -183,7 +202,7 @@ def pose_optimize(T_init: jnp.ndarray, obs: PoseObservations, K4, bf: float,
 
     r, w, (c_pt, c_ln, c_pl, is_st) = _all_residuals(
         T, obs, K4, bf, masks, jnp.asarray(0.0), angle_info, dist_info,
-        plane_chi2, vp_chi2, struct_on)
+        plane_chi2, vp_chi2, struct_on, prior_T, prior_w)
     pt_in = masks[0] & obs.pt_valid
     ln_in = masks[1] & obs.ln_valid
     pl_in = masks[2] & obs.pl_valid

@@ -1,0 +1,149 @@
+"""The fused per-frame tracking step: ONE device program.
+
+The reference interleaves matching, optimization and bookkeeping across
+threads and data structures (Tracking.cc:242-724). The TPU-native version
+fuses the whole normal-tracking path -- Manhattan mean shift, pose
+prediction, projection + reference-KF matching, two-stage pose optimization
+with structural plane edges, local-map rematch, landmark statistics -- into
+a single jit with NO host round-trips: the host reads back one small scalar
+bundle per frame to run the keyframe/LOST state machine.
+
+All branching is speculative/branchless (both prediction variants are
+computed and selected on device); at ~1 ms of device work per branch this is
+cheaper than one host sync over the TPU link."""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dr_slam_tpu.config import SlamConfig
+from dr_slam_tpu.frontend.frame import FrameFeatures
+from dr_slam_tpu.geometry import se3
+from dr_slam_tpu.manhattan.tracker import track_manhattan_frame
+from dr_slam_tpu.optimize.pose_opt import pose_optimize
+from dr_slam_tpu.slam import map_ops
+from dr_slam_tpu.slam.state import MapState
+
+
+class TrackStepOut(NamedTuple):
+    T_cw: jnp.ndarray          # (4, 4) optimized pose
+    R_cm: jnp.ndarray          # (3, 3) refreshed Manhattan->camera
+    n_matches: jnp.ndarray     # () int32 motion-stage matches
+    n_inliers: jnp.ndarray     # () int32 final inliers
+    man_ok: jnp.ndarray        # () bool
+    jump: jnp.ndarray          # () float32 |t - t_pred|
+    mp_idx: jnp.ndarray        # (K,) final per-keypoint map-point matches
+    plane_match: jnp.ndarray   # (P,) map-plane ids (direct association)
+    plane_par: jnp.ndarray     # (P,)
+    plane_ver: jnp.ndarray     # (P,)
+    line_match: jnp.ndarray    # (L,)
+    new_map_state: MapState    # with updated visibility statistics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
+               R_cm_prev, ref_kf, cfg: SlamConfig) -> TrackStepOut:
+    cam = cfg.camera
+    tr = cfg.tracking
+
+    # --- Manhattan rotation tracking (Tracking.cc:328-332) ----------------
+    man = track_manhattan_frame(
+        R_cm_prev, feats.normals, feats.normals_valid,
+        feats.lines.dir3d, feats.lines.has3d,
+        cone_normals=cfg.manhattan.cone_angle_normals,
+        cone_lines=cfg.manhattan.cone_angle_lines,
+        kernel=cfg.manhattan.mean_shift_kernel,
+        min_ratio=cfg.manhattan.min_sn_ratio,
+        n_iterations=cfg.manhattan.n_iterations)
+    man_ok = man.success & state.manhattan_ok
+
+    # --- predict pose (velocity model; Manhattan R as rotation prior) -----
+    T_vel = velocity @ T_last
+    R_cw_man = man.R_cm @ state.R_wm.T        # Tracking.cc:347-350
+    T_man = se3.make_T(R_cw_man, T_vel[:3, 3])
+    T_pred = jnp.where(man_ok, T_man, T_vel)
+
+    # --- stage 1: motion-model matching + full pose solve ------------------
+    pm = map_ops.match_points_projection(
+        state, feats.kp.uv, feats.kp.desc, feats.kp.valid, T_pred, cam.K4,
+        radius=tr.motion_search_radius, max_hamming=64.0,
+        width=cam.width, height=cam.height, kp_angle=feats.kp.angle)
+    mp_idx = pm.mp_idx
+    if tr.use_ref_kf_anchor:
+        ref = map_ops.match_reference_kf(state, ref_kf, feats.kp.desc,
+                                         feats.kp.valid)
+        mp_idx = jnp.where(ref.mp_idx >= 0, ref.mp_idx, mp_idx)
+        # prediction-free rescue when motion matching collapses
+        use_ref_pose = pm.n_matches < 20
+        T_pred = jnp.where(use_ref_pose, T_last, T_pred)
+
+    plane_m = map_ops.match_planes(
+        state, feats.planes.coeffs, feats.planes.valid, T_pred,
+        assoc_ang=cfg.plane.association_ang_ref,
+        assoc_dis=cfg.plane.association_dis_ref,
+        par_th=cfg.plane.parallel_threshold,
+        ver_th=cfg.plane.vertical_threshold)
+    line_m = map_ops.match_lines_projection(
+        state, feats.lines.seg2d, feats.lines.desc,
+        feats.lines.valid & feats.lines.has3d, T_pred, cam.K4,
+        width=cam.width, height=cam.height)
+    no_lines = jnp.full_like(line_m.ml_idx, -1)
+    lm_pose = line_m.ml_idx if tr.use_lines_in_pose else no_lines
+    if not tr.use_planes_in_pose:
+        plane_m = plane_m._replace(
+            match_idx=jnp.full_like(plane_m.match_idx, -1),
+            par_idx=jnp.full_like(plane_m.par_idx, -1),
+            ver_idx=jnp.full_like(plane_m.ver_idx, -1))
+
+    obs = map_ops.build_pose_obs(state, feats, mp_idx, plane_m, lm_pose,
+                                 n_struct=cfg.map.max_kf_planes)
+    opt = pose_optimize(
+        T_pred, obs, cam.K4, cam.bf, translation_only=False, struct_on=False,
+        angle_info=cfg.plane.angle_info, dist_info=cfg.plane.distance_info,
+        plane_chi2=cfg.plane.chi2, vp_chi2=cfg.plane.vp_chi2,
+        prior_sigma_t=0.3, prior_sigma_r=0.03)
+
+    # --- stage 2: local-map rematch at the refined pose + struct edges -----
+    pm2 = map_ops.match_points_projection(
+        state, feats.kp.uv, feats.kp.desc, feats.kp.valid, opt.T_cw, cam.K4,
+        radius=6.0, max_hamming=map_ops.TH_LOW + 10.0,
+        width=cam.width, height=cam.height, kp_angle=feats.kp.angle)
+    mp_idx2 = jnp.where(pm2.mp_idx >= 0, pm2.mp_idx, mp_idx)
+    plane_m2 = map_ops.match_planes(
+        state, feats.planes.coeffs, feats.planes.valid, opt.T_cw,
+        assoc_ang=cfg.plane.association_ang_ref,
+        assoc_dis=cfg.plane.association_dis_ref,
+        par_th=cfg.plane.parallel_threshold,
+        ver_th=cfg.plane.vertical_threshold)
+    if not tr.use_planes_in_pose:
+        plane_m2 = plane_m2._replace(
+            match_idx=jnp.full_like(plane_m2.match_idx, -1),
+            par_idx=jnp.full_like(plane_m2.par_idx, -1),
+            ver_idx=jnp.full_like(plane_m2.ver_idx, -1))
+    obs2 = map_ops.build_pose_obs(state, feats, mp_idx2, plane_m2, lm_pose,
+                                  n_struct=cfg.map.max_kf_planes)
+    opt2 = pose_optimize(
+        opt.T_cw, obs2, cam.K4, cam.bf, translation_only=False,
+        struct_on=True,  # par/ver edges masked by their own validity
+        angle_info=cfg.plane.angle_info, dist_info=cfg.plane.distance_info,
+        plane_chi2=cfg.plane.chi2, vp_chi2=cfg.plane.vp_chi2,
+        prior_sigma_t=0.3, prior_sigma_r=0.03)
+    T_cur = opt2.T_cw
+
+    # --- bookkeeping (MapPoint Increase{Visible,Found}) ---------------------
+    new_state = map_ops.update_point_stats(state, pm2.visible, mp_idx2)
+
+    # refreshed Manhattan rotation from the optimized pose (Tracking.cc:516)
+    R_cm_new = jnp.where(state.manhattan_ok,
+                         T_cur[:3, :3] @ state.R_wm, R_cm_prev)
+    jump = jnp.linalg.norm(T_cur[:3, 3] - T_pred[:3, 3])
+    return TrackStepOut(
+        T_cw=T_cur, R_cm=R_cm_new, n_matches=pm.n_matches,
+        n_inliers=opt2.n_inliers, man_ok=man_ok, jump=jump,
+        mp_idx=mp_idx2, plane_match=plane_m2.match_idx,
+        plane_par=plane_m2.par_idx, plane_ver=plane_m2.ver_idx,
+        line_match=line_m.ml_idx, new_map_state=new_state)

@@ -39,6 +39,7 @@ from dr_slam_tpu.manhattan import find_manhattan, track_manhattan_frame
 from dr_slam_tpu.optimize.pose_opt import pose_optimize
 from dr_slam_tpu.slam import map_ops
 from dr_slam_tpu.slam.state import MapState, make_empty_state
+from dr_slam_tpu.slam.track_step import track_step
 
 
 class TrackState(enum.Enum):
@@ -68,6 +69,7 @@ class Tracker:
     velocity: jnp.ndarray = None     # T_cw(t) @ inv(T_cw(t-1))
     R_cm: jnp.ndarray = None         # Manhattan -> camera
     last_kf_frame: int = -1000
+    last_kf_inliers: int = 500
     ref_kf: int = 0
     frame_id: int = -1
     trajectory: list = field(default_factory=list)   # (ts, T_cw)
@@ -153,161 +155,70 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _track(self, feats: FrameFeatures, ts: float) -> TrackingResult:
+        """Normal tracking: ONE fused device program (slam/track_step.py)
+        plus a host-side state machine driven by one scalar readback."""
         cfg = self.cfg
-        cam = cfg.camera
-        st = self.map_state
+        out = track_step(self.map_state, feats, self.T_cw, self.velocity,
+                         self.R_cm, jnp.asarray(self.ref_kf), cfg)
+        self.map_state = out.new_map_state
+        # single host readback of the per-frame scalars
+        n_inliers, n_matches, man_ok, jump = (
+            int(out.n_inliers), int(out.n_matches), bool(out.man_ok),
+            float(out.jump))
+        T_cur = out.T_cw
 
-        # --- Manhattan rotation (3 fixed-point calls inside the jit) -------
-        man = track_manhattan_frame(
-            self.R_cm, feats.normals, feats.normals_valid,
-            feats.lines.dir3d, feats.lines.has3d,
-            cone_normals=cfg.manhattan.cone_angle_normals,
-            cone_lines=cfg.manhattan.cone_angle_lines,
-            kernel=cfg.manhattan.mean_shift_kernel,
-            min_ratio=cfg.manhattan.min_sn_ratio,
-            n_iterations=cfg.manhattan.n_iterations)
-        man_ok = bool(man.success) and bool(st.manhattan_ok)
-
-        # --- predict pose ---------------------------------------------------
-        T_pred = self.velocity @ self.T_cw
-        if man_ok:
-            # drift-free rotation: R_cw = R_cm @ R_wm^T (Tracking.cc:347-350)
-            R_cw = man.R_cm @ st.R_wm.T
-            T_pred = se3.make_T(R_cw, T_pred[:3, 3])
-
-        # --- motion-model matching + pose opt -------------------------------
-        pmres = map_ops.match_points_projection(
-            st, feats.kp.uv, feats.kp.desc, feats.kp.valid, T_pred, cam.K4,
-            radius=cfg.tracking.motion_search_radius, max_hamming=64.0,
-            width=cam.width, height=cam.height, kp_angle=feats.kp.angle)
-        n_matches = int(pmres.n_matches)
-        # Always blend in prediction-FREE descriptor matches against the
-        # reference keyframe (TrackReferenceKeyFrame capability,
-        # Tracking.cc:2304). Projection matches are harvested inside a window
-        # around the prediction, so they inherit its bias; the ref-KF matches
-        # anchor the solve and break the velocity-feedback loop.
-        ref = map_ops.match_reference_kf(st, jnp.asarray(self.ref_kf),
-                                         feats.kp.desc, feats.kp.valid)
-        if cfg.tracking.use_ref_kf_anchor:
-            mp_idx = jnp.where(ref.mp_idx >= 0, ref.mp_idx, pmres.mp_idx)
-        else:
-            mp_idx = pmres.mp_idx
-        if n_matches < 20:
-            if int(ref.n_matches) > n_matches:
-                n_matches = int(ref.n_matches)
-                T_pred = self.T_cw  # no motion assumption
-
-        plane_m = map_ops.match_planes(
-            st, feats.planes.coeffs, feats.planes.valid, T_pred,
-            assoc_ang=cfg.plane.association_ang_ref,
-            assoc_dis=cfg.plane.association_dis_ref,
-            par_th=cfg.plane.parallel_threshold,
-            ver_th=cfg.plane.vertical_threshold)
-        line_m = map_ops.match_lines_projection(
-            st, feats.lines.seg2d, feats.lines.desc,
-            feats.lines.valid & feats.lines.has3d, T_pred, cam.K4,
-            width=cam.width, height=cam.height)
-        lm_for_pose = (line_m.ml_idx if cfg.tracking.use_lines_in_pose
-                       else jnp.full_like(line_m.ml_idx, -1))
-
-        obs = map_ops.build_pose_obs(st, feats, mp_idx, plane_m, lm_for_pose,
-                                     n_struct=cfg.map.max_kf_planes)
-        # Full-pose solve with the Manhattan rotation as the *prior* in
-        # T_pred -- the reference's active path (TrackWithMotionModel +
-        # Manhattan re-derivation, Tracking.cc:365,516-521). The strict
-        # TranslationWithMotionModel variant (Tracking.cc:2544) exists as
-        # pose_optimize(translation_only=True) but locking the mean-shift
-        # rotation bakes its ~0.5 deg noise into translation, so the default
-        # pipeline uses it only as a prior.
-        opt = pose_optimize(
-            T_pred, obs, cam.K4, cam.bf,
-            translation_only=False, struct_on=False,
-            angle_info=cfg.plane.angle_info, dist_info=cfg.plane.distance_info,
-            plane_chi2=cfg.plane.chi2, vp_chi2=cfg.plane.vp_chi2)
-        n_inliers = int(opt.n_inliers)
-        T_cur = opt.T_cw
-        if n_inliers < 10 and man_ok:
-            # retry from the pure velocity prediction (Tracking.cc:365-375)
-            opt = pose_optimize(
-                self.velocity @ self.T_cw, obs, cam.K4, cam.bf,
-                translation_only=False, struct_on=False,
-                angle_info=cfg.plane.angle_info,
-                dist_info=cfg.plane.distance_info,
-                plane_chi2=cfg.plane.chi2, vp_chi2=cfg.plane.vp_chi2)
-            n_inliers = int(opt.n_inliers)
-            T_cur = opt.T_cw
-            man_ok = False
-
-        # --- local-map tracking (re-match with refined pose) ----------------
-        pmres2 = map_ops.match_points_projection(
-            st, feats.kp.uv, feats.kp.desc, feats.kp.valid, T_cur, cam.K4,
-            radius=6.0, max_hamming=map_ops.TH_LOW + 10.0,
-            width=cam.width, height=cam.height, kp_angle=feats.kp.angle)
-        mp_idx2 = jnp.where(pmres2.mp_idx >= 0, pmres2.mp_idx, mp_idx)
-        plane_m2 = map_ops.match_planes(
-            st, feats.planes.coeffs, feats.planes.valid, T_cur,
-            assoc_ang=cfg.plane.association_ang_ref,
-            assoc_dis=cfg.plane.association_dis_ref,
-            par_th=cfg.plane.parallel_threshold,
-            ver_th=cfg.plane.vertical_threshold)
-        obs2 = map_ops.build_pose_obs(st, feats, mp_idx2, plane_m2,
-                                      lm_for_pose,
-                                      n_struct=cfg.map.max_kf_planes)
-        # local-map stage always optimizes the FULL pose (the reference's
-        # active path: PoseOptimization in TrackLocalMap, Tracking.cc:2810);
-        # the Manhattan rotation only seeds it via T_cur.
-        opt2 = pose_optimize(
-            T_cur, obs2, cam.K4, cam.bf,
-            translation_only=False, struct_on=man_ok,
-            angle_info=cfg.plane.angle_info, dist_info=cfg.plane.distance_info,
-            plane_chi2=cfg.plane.chi2, vp_chi2=cfg.plane.vp_chi2)
-        n_inliers = int(opt2.n_inliers)
-        T_cur = opt2.T_cw
-
-        # --- bookkeeping ------------------------------------------------------
-        self.map_state = map_ops.update_point_stats(st, pmres2.visible, mp_idx2)
-
-        if n_inliers < 10:
+        # failure detection (SURVEY.md section 5): reject implausible updates
+        # and relocalize rather than integrating a bad pose
+        bad_pose = (n_inliers < 10
+                    or n_inliers < 0.3 * max(n_matches, 1)
+                    or jump > 0.30)
+        if bad_pose:
             self.state = TrackState.LOST
             return TrackingResult(np.asarray(self.T_cw), self.state,
                                   n_inliers, n_matches, man_ok, False, ts)
 
         self.velocity = T_cur @ se3.inv_T(self.T_cw)
         self.T_cw = T_cur
-        # refresh Manhattan R from the optimized pose (Tracking.cc:516-521)
-        if bool(self.map_state.manhattan_ok):
-            self.R_cm = T_cur[:3, :3] @ self.map_state.R_wm
+        self.R_cm = out.R_cm
         self.state = TrackState.OK
 
         # --- keyframe decision (NeedNewKeyFrame, Tracking.cc:2907) ----------
         frames_since = self.frame_id - self.last_kf_frame
-        need_kf = (frames_since >= cfg.tracking.max_frames or
-                   (frames_since >= cfg.tracking.min_frames
-                    and n_inliers < 350))
+        need_kf = (frames_since >= cfg.tracking.min_frames
+                   or n_inliers < 0.5 * max(self.last_kf_inliers, 100))
         is_kf = False
         if need_kf and int(self.map_state.n_kfs) < cfg.map.max_keyframes - 1:
             bow = compute_bow(feats.kp.desc, feats.kp.valid,
                               cfg.map.vocab_words)
             blocked = map_ops.creation_block_mask(
-                self.map_state, feats.kp.uv, feats.kp_depth, T_cur, cam.K4)
+                self.map_state, feats.kp.uv, feats.kp_depth, T_cur,
+                cfg.camera.K4)
+            pm = map_ops.PlaneMatches(
+                match_idx=out.plane_match, par_idx=out.plane_par,
+                ver_idx=out.plane_ver,
+                obs_world=jax.vmap(
+                    lambda p: se3.plane_to_world(T_cur, p))(
+                        feats.planes.coeffs))
             self.map_state, kf_id = map_ops.add_keyframe(
-                self.map_state, feats, T_cur, ts, mp_idx2, plane_m2,
-                line_m.ml_idx, bow, cfg, blocked=blocked)
+                self.map_state, feats, T_cur, ts, out.mp_idx, pm,
+                out.line_match, bow, cfg, blocked=blocked)
             if cfg.tracking.run_cull_on_keyframe:
                 self.map_state = map_ops.cull_map(
                     self.map_state,
                     merge_angle_cos=cfg.plane.merge_angle_cos,
                     merge_dist=cfg.plane.merge_dist)
-            # map refinement: full on-device BA over all keyframes+points
-            # (capability of LocalBundleAdjustment/GlobalBundleAdjustemnt;
-            # the reference disables local BA, LocalMapping.cc:67-69, and
-            # reprojection-only BA is weakly constrained in low-parallax
-            # RGB-D geometry -- gated off by default like the reference)
+            # map refinement: on-device BA (reproj + depth) over the map
+            # (capability of Local/GlobalBundleAdjustment; the reference
+            # disables local BA, LocalMapping.cc:67-69 -- cheap on TPU)
             if cfg.tracking.run_ba_on_keyframe:
                 self._map_ba()
                 T_cur = self.map_state.kf_pose[int(kf_id)]
                 self.T_cw = T_cur
+                # BA moved the pose base; a velocity computed across the
+                # correction would mis-predict the next frame
+                self.velocity = jnp.eye(4)
             self.last_kf_frame = self.frame_id
+            self.last_kf_inliers = n_inliers
             self.ref_kf = int(kf_id)
             self.kf_log.append((ts, np.asarray(T_cur)))
             is_kf = True

@@ -1,0 +1,110 @@
+"""Auxiliary subsystems: YOLOX, occupancy grids, mesh export, native loader,
+vocabulary, map IO."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_vocabulary_assign_and_score():
+    from dr_slam_tpu.associate.vocabulary import bow_scores, compute_bow
+    rng = np.random.RandomState(0)
+    d1 = jnp.asarray(rng.randint(0, 2 ** 32, (64, 8), dtype=np.uint32))
+    d2 = jnp.asarray(rng.randint(0, 2 ** 32, (64, 8), dtype=np.uint32))
+    v = jnp.ones(64, dtype=bool)
+    b1 = compute_bow(d1, v, 256)
+    b2 = compute_bow(d2, v, 256)
+    assert abs(float(jnp.sum(b1)) - 1.0) < 1e-4
+    kf_bows = jnp.stack([b1, b2])
+    s = bow_scores(b1, kf_bows, jnp.ones(2, dtype=bool))
+    assert abs(float(s[0]) - 1.0) < 1e-4       # self-similarity = 1
+    assert float(s[1]) < float(s[0])
+
+
+def test_yolox_runs_and_shapes():
+    from dr_slam_tpu.models.yolox import YOLOX
+    det = YOLOX(input_size=256)
+    rgb = jnp.asarray(np.random.RandomState(0).rand(120, 160, 3) * 255,
+                      dtype=jnp.float32)
+    out = det.detect(rgb)
+    assert out.boxes.shape == (32, 4)
+    assert out.scores.shape == (32,)
+    assert bool(jnp.all(jnp.isfinite(out.boxes)))
+
+
+def test_occupancy_grid():
+    from dr_slam_tpu.io.occupancy import occupancy_grid_2d
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 1.0], [1.02, 0.0, 1.02]])
+    grid, origin = occupancy_grid_2d(pts, jnp.ones(3, dtype=bool),
+                                     resolution=0.1, size=32)
+    g = np.asarray(grid)
+    assert g.sum() == 3
+    assert g.max() == 2  # two nearby points share a cell
+
+
+def test_mesh_export(tmp_path):
+    from dr_slam_tpu.io.mesh_export import save_mesh_ply
+    from dr_slam_tpu.slam.state import make_empty_state
+    from tests.test_tracking_e2e import small_cfg
+    st = make_empty_state(small_cfg())
+    # one synthetic plane: z=2, cloud on a grid
+    xs, ys = np.meshgrid(np.linspace(-1, 1, 10), np.linspace(-1, 1, 10))
+    cloud = np.stack([xs.ravel(), ys.ravel(), 2 * np.ones(100)], -1)
+    Q = st.pl_cloud.shape[1]
+    st = st._replace(
+        pl_coef=st.pl_coef.at[0].set(jnp.asarray([0, 0, -1.0, 2.0])),
+        pl_valid=st.pl_valid.at[0].set(True),
+        pl_cloud=st.pl_cloud.at[0, :100].set(jnp.asarray(cloud)),
+        pl_cloud_valid=st.pl_cloud_valid.at[0, :100].set(True))
+    p = str(tmp_path / "mesh.ply")
+    save_mesh_ply(p, st, cell=0.25)
+    text = open(p).read()
+    assert "element vertex" in text
+    n_verts = int(text.split("element vertex ")[1].split("\n")[0])
+    assert n_verts > 20
+
+
+def test_native_loader_matches_pil(tmp_path):
+    from PIL import Image
+
+    from dr_slam_tpu.io.native_loader import NativeTUMLoader, build_native
+    from dr_slam_tpu.io.tum import TUMDataset
+    if not build_native():
+        pytest.skip("native toolchain unavailable")
+    root = str(tmp_path)
+    os.makedirs(root + "/rgb")
+    os.makedirs(root + "/depth")
+    rows = []
+    for i in range(2):
+        g = (np.random.RandomState(i).rand(32, 48) * 255).astype(np.uint8)
+        d = (np.random.RandomState(i + 5).rand(32, 48) * 30000).astype(np.uint16)
+        Image.fromarray(g, mode="L").save(f"{root}/rgb/{i}.png")
+        Image.fromarray(d, mode="I;16").save(f"{root}/depth/{i}.png")
+        rows.append(f"{i}.0 rgb/{i}.png {i}.0 depth/{i}.png")
+    open(root + "/associate.txt", "w").write("\n".join(rows))
+    ds = TUMDataset(root)
+    ld = NativeTUMLoader(ds)
+    n = 0
+    for idx, ts, gray, depth in ld:
+        ref = ds[idx]
+        np.testing.assert_allclose(gray, ref.gray, atol=1e-3)
+        np.testing.assert_allclose(depth, ref.depth, atol=1e-5)
+        n += 1
+    ld.close()
+    assert n == 2
+
+
+def test_occupancy_save(tmp_path):
+    from dr_slam_tpu.io.occupancy import save_occupancy_map
+    from dr_slam_tpu.slam.state import make_empty_state
+    from tests.test_tracking_e2e import small_cfg
+    st = make_empty_state(small_cfg())
+    st = st._replace(
+        pt_pos=st.pt_pos.at[:50].set(
+            jnp.asarray(np.random.RandomState(0).rand(50, 3) * 3)),
+        pt_valid=st.pt_valid.at[:50].set(True))
+    p = str(tmp_path / "occ")
+    save_occupancy_map(p, st)
+    assert os.path.exists(p + ".npz") and os.path.exists(p + ".pgm")

@@ -18,12 +18,17 @@ def make_scene(n_pts=200, seed=0, noise_px=0.3, outlier_frac=0.0,
     uv = np.stack([K4[0] * Xc[:, 0] / Xc[:, 2] + K4[2],
                    K4[1] * Xc[:, 1] / Xc[:, 2] + K4[3]], -1)
     uv += noise_px * rng.randn(n_pts, 2)
-    ur = uv[:, 0] - BF / Xc[:, 2] + noise_px * rng.randn(n_pts)
+    # RGB-D convention: uR derives from the measured depth (u - bf/z_meas),
+    # so (u, uR) reconstructs z_meas exactly; depth noise is multiplicative
+    z_meas = Xc[:, 2] * (1.0 + 0.003 * rng.randn(n_pts))
+    ur = uv[:, 0] - BF / z_meas
     if not stereo:
         ur = -np.ones(n_pts)
     n_out = int(outlier_frac * n_pts)
     if n_out:
         uv[:n_out] += rng.uniform(20, 60, (n_out, 2)) * np.sign(rng.randn(n_out, 2))
+        if stereo:
+            ur[:n_out] = uv[:n_out, 0] - BF / z_meas[:n_out]
     obs3 = np.concatenate([uv, ur[:, None]], -1)
     return T_true, pts_w.astype(np.float32), obs3.astype(np.float32)
 
