@@ -74,12 +74,21 @@ def rotation_consistency(ok, dangle, n_bins: int = 30, keep_bins: int = 3):
     return ok & in_top
 
 
+_MATCH_CHUNK = 4096  # map points per scan step: bounds temporaries to
+                     # (K, 4096) tiles (a full (1024, 32768) distance matrix
+                     # is ~134 MB x several buffers and fragments HBM)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
                             T_pred, K4, radius: float,
                             max_hamming: float = TH_HIGH,
                             width: int = 640, height: int = 480,
                             kp_angle=None) -> PointMatches:
+    from dr_slam_tpu.ops.orb import bits_to_signs, unpack_bits
+
+    NP = state.pt_pos.shape[0]
+    K = kp_uv.shape[0]
     pos_c = se3.transform_points(T_pred, state.pt_pos)
     z = pos_c[:, 2]
     uv = se3.project(jnp.asarray(K4), pos_c)
@@ -87,28 +96,64 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
               & (uv[:, 1] >= 0) & (uv[:, 1] < height))
     vis = state.pt_valid & (z > 0.1) & in_img
 
-    ham = hamming_matrix(kp_desc, state.pt_desc)       # (K, NP)
-    du = jnp.abs(kp_uv[:, 0:1] - uv[None, :, 0])
-    dv = jnp.abs(kp_uv[:, 1:2] - uv[None, :, 1])
-    gate = (du < radius) & (dv < radius) & vis[None, :] & kp_valid[:, None]
-    D = jnp.where(gate, ham, jnp.inf)
+    C = min(_MATCH_CHUNK, NP)
+    n_chunks = -(-NP // C)
+    pad = n_chunks * C - NP
 
-    best_pt = jnp.argmin(D, 1)
-    k_idx = jnp.arange(D.shape[0])
-    best_d = D[k_idx, best_pt]
+    def pad_to(x, fill=0):
+        if pad == 0:
+            return x
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    signs_kp = bits_to_signs(unpack_bits(kp_desc))            # (K, 256)
+    pt_signs = bits_to_signs(unpack_bits(pad_to(state.pt_desc)))
+    pt_signs = pt_signs.reshape(n_chunks, C, 256)
+    uv_ch = pad_to(uv, 1e9).reshape(n_chunks, C, 2)
+    vis_ch = pad_to(vis, False).reshape(n_chunks, C)
+    offs = (jnp.arange(n_chunks, dtype=jnp.int32) * C)
+
+    k_idx = jnp.arange(K, dtype=jnp.int32)
+
+    def body(carry, chunk):
+        best_d, best_i, second_d = carry
+        sg, uvc, vc, off = chunk
+        dot = jnp.dot(signs_kp, sg.T, preferred_element_type=jnp.float32)
+        ham = (256.0 - dot) * 0.5                              # (K, C)
+        du = jnp.abs(kp_uv[:, 0:1] - uvc[None, :, 0])
+        dv = jnp.abs(kp_uv[:, 1:2] - uvc[None, :, 1])
+        gate = (du < radius) & (dv < radius) & vc[None, :] & kp_valid[:, None]
+        D = jnp.where(gate, ham, jnp.inf)
+        cmin = jnp.min(D, 1)
+        carg = jnp.argmin(D, 1).astype(jnp.int32)
+        csec = jnp.min(D.at[k_idx, carg].set(jnp.inf), 1)
+        # merge (best, second) pairs across chunks
+        new_best = jnp.minimum(best_d, cmin)
+        new_second = jnp.minimum(jnp.maximum(best_d, cmin),
+                                 jnp.minimum(second_d, csec))
+        new_i = jnp.where(cmin < best_d, carg + off, best_i)
+        # per-point best keypoint (for the mutual check)
+        pbest_k = jnp.argmin(D, 0).astype(jnp.int32)
+        pbest_d = jnp.min(D, 0)
+        return (new_best, new_i, new_second), (pbest_k, pbest_d)
+
+    init = (jnp.full((K,), jnp.inf), jnp.zeros((K,), jnp.int32),
+            jnp.full((K,), jnp.inf))
+    (best_d, best_pt, second), (pk, pd) = jax.lax.scan(
+        body, init, (pt_signs, uv_ch, vis_ch, offs))
+    pbest_k = pk.reshape(-1)[:NP]                              # (NP,)
+
     ok = best_d <= max_hamming
     # ambiguity test: a second candidate nearly as good means a repetitive
     # region -- reject (ORBmatcher's mfNNratio idea); crucial against
     # window-gate bias feedback on periodic texture
-    masked = D.at[k_idx, best_pt].set(jnp.inf)
-    second = jnp.min(masked, 1)
     ok &= best_d < 0.85 * second
-    best_kp = jnp.argmin(D, 0)
-    ok &= best_kp[best_pt] == k_idx
+    # mutual best
+    ok &= pbest_k[best_pt] == k_idx
     if kp_angle is not None:
         dangle = kp_angle - state.pt_angle[best_pt]
         ok = rotation_consistency(ok, dangle)
-    mp_idx = jnp.where(ok, best_pt.astype(jnp.int32), -1)
+    mp_idx = jnp.where(ok, best_pt, -1)
     return PointMatches(mp_idx=mp_idx, n_matches=jnp.sum(ok), visible=vis)
 
 
@@ -143,16 +188,31 @@ def creation_block_mask(state: MapState, kp_uv, kp_depth, T_cw, K4,
     this keypoint at a compatible depth -- duplicate-landmark prevention
     (the role of ORBmatcher::Fuse in SearchInNeighbors,
     LocalMapping.cc:1039)."""
+    NP = state.pt_pos.shape[0]
     pos_c = se3.transform_points(T_cw, state.pt_pos)
     uv = se3.project(jnp.asarray(K4), pos_c)
     z = pos_c[:, 2]
     ok = state.pt_valid & (z > 0.1)
-    du = jnp.abs(kp_uv[:, 0:1] - uv[None, :, 0])
-    dv = jnp.abs(kp_uv[:, 1:2] - uv[None, :, 1])
-    depth_ratio = kp_depth[:, None] / jnp.maximum(z[None, :], 1e-6)
-    near = ((du < radius) & (dv < radius) & ok[None, :]
-            & (depth_ratio > 0.8) & (depth_ratio < 1.25))
-    return jnp.any(near, axis=1)
+    C = min(_MATCH_CHUNK, NP)
+    n_chunks = -(-NP // C)
+    pad = n_chunks * C - NP
+    uv_ch = jnp.pad(uv, ((0, pad), (0, 0)), constant_values=1e9
+                    ).reshape(n_chunks, C, 2)
+    z_ch = jnp.pad(z, (0, pad), constant_values=1.0).reshape(n_chunks, C)
+    ok_ch = jnp.pad(ok, (0, pad)).reshape(n_chunks, C)
+
+    def body(blocked, chunk):
+        uvc, zc, okc = chunk
+        du = jnp.abs(kp_uv[:, 0:1] - uvc[None, :, 0])
+        dv = jnp.abs(kp_uv[:, 1:2] - uvc[None, :, 1])
+        ratio = kp_depth[:, None] / jnp.maximum(zc[None, :], 1e-6)
+        near = ((du < radius) & (dv < radius) & okc[None, :]
+                & (ratio > 0.8) & (ratio < 1.25))
+        return blocked | jnp.any(near, axis=1), None
+
+    blocked, _ = jax.lax.scan(body, jnp.zeros(kp_uv.shape[0], bool),
+                              (uv_ch, z_ch, ok_ch))
+    return blocked
 
 
 class PlaneMatches(NamedTuple):
