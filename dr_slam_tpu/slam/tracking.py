@@ -272,7 +272,15 @@ class Tracker:
             obs = map_ops.build_pose_obs(st, feats, ref.mp_idx, pm, lm.ml_idx,
                                          n_struct=cfg.map.max_kf_planes)
             opt = pose_optimize(T0, obs, cfg.camera.K4, cfg.camera.bf)
-            if int(opt.n_inliers) >= 30:
+            # verify against the FULL map, not just the candidate keyframe:
+            # an aliased BoW+PnP pose matches one keyframe consistently but
+            # projects poorly against the rest of the map
+            verify = map_ops.match_points_projection(
+                st, feats.kp.uv, feats.kp.desc, feats.kp.valid, opt.T_cw,
+                cfg.camera.K4, radius=6.0, max_hamming=map_ops.TH_LOW + 10.0,
+                width=cfg.camera.width, height=cfg.camera.height,
+                kp_angle=feats.kp.angle)
+            if int(opt.n_inliers) >= 30 and int(verify.n_matches) >= 60:
                 self.T_cw = opt.T_cw
                 self.velocity = jnp.eye(4)
                 self.state = TrackState.OK
