@@ -111,7 +111,11 @@ def bench_odometry(n_frames: int = 48) -> float | None:
         subprocess.run([_sys.executable, "-c", code], check=True,
                        env=os.environ)
     from dr_slam_tpu.io.map_io import load_map
-    st = load_map(map_path, cfg)
+    try:
+        st = load_map(map_path, cfg)
+    except Exception:  # stale schema from an older run: rebuild
+        os.remove(map_path)
+        return bench_odometry(n_frames)
     gray, depth = seq.render(12)
     gray = jnp.asarray(gray)
     depth = jnp.asarray(depth)
