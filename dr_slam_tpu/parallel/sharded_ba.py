@@ -26,9 +26,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dr_slam_tpu.optimize.global_ba import BAProblem, bundle_adjust
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "obs") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "obs",
+              devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh: requested {n} devices but only {len(devs)} are "
+            f"available ({[str(d) for d in devs]}); a silently truncated "
+            f"mesh would not exercise the multi-chip sharding paths")
     return Mesh(np.asarray(devs[:n]), axis_names=(axis,))
 
 
