@@ -164,7 +164,12 @@ def match_reference_kf(state: MapState, kf_id, kp_desc, kp_valid,
     """Frame <-> keyframe descriptor matching, returning map-point ids
     through the keyframe's observation table (SearchByBoW capability)."""
     kdesc = state.kf_desc[kf_id]
-    kvalid = state.kf_kp_valid[kf_id] & (state.kf_mp[kf_id] >= 0)
+    # gate on current pt_valid too: a culled point must not be re-served
+    # through an old keyframe row (observations are erased lazily in cull_map
+    # but a row written between culls can still reference a dying point)
+    row = state.kf_mp[kf_id]
+    kvalid = (state.kf_kp_valid[kf_id] & (row >= 0)
+              & state.pt_valid[jnp.clip(row, 0)])
     ham = hamming_matrix(kp_desc, kdesc)
     D = jnp.where(kp_valid[:, None] & kvalid[None, :], ham, jnp.inf)
     best_j = jnp.argmin(D, 1)
@@ -508,6 +513,15 @@ def cull_map(state: MapState, merge_angle_cos: float = 0.985,
     bad = state.pt_valid & (state.pt_visible > 8) & (ratio < 0.25)
     pt_valid = state.pt_valid & ~bad
 
+    # Erase keyframe observations of dead points (MapPoint::SetBadFlag erases
+    # itself from every observing keyframe, src/MapPoint.cc). Without this,
+    # add_keyframe's slot recycling would silently re-attach old keyframes'
+    # uv observations to an unrelated new landmark, corrupting BA,
+    # covisibility counts and loop verification.
+    stale = (state.kf_mp >= 0) & ~pt_valid[jnp.clip(state.kf_mp, 0)]
+    kf_mp = jnp.where(stale, -1, state.kf_mp)
+    pt_obs_count = jnp.where(pt_valid, state.pt_obs_count, 0)
+
     lvis = jnp.maximum(state.ln_visible, 1)
     lratio = state.ln_found.astype(jnp.float32) / lvis.astype(jnp.float32)
     lbad = state.ln_valid & (state.ln_visible > 8) & (lratio < 0.2)
@@ -530,7 +544,8 @@ def cull_map(state: MapState, merge_angle_cos: float = 0.985,
     pl_valid = state.pl_valid & ~merged_away
 
     return state._replace(pt_valid=pt_valid, pl_valid=pl_valid,
-                          ln_valid=ln_valid, n_pts=jnp.sum(pt_valid))
+                          ln_valid=ln_valid, kf_mp=kf_mp,
+                          pt_obs_count=pt_obs_count, n_pts=jnp.sum(pt_valid))
 
 
 @jax.jit

@@ -113,6 +113,20 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
         radius=6.0, max_hamming=map_ops.TH_LOW + 10.0,
         width=cam.width, height=cam.height, kp_angle=feats.kp.angle)
     mp_idx2 = jnp.where(pm2.mp_idx >= 0, pm2.mp_idx, mp_idx)
+    # Deduplicate across the two passes: stage-1 and stage-2 are each
+    # mutually-exclusive internally, but a stage-1 carry-over can collide
+    # with another keypoint's stage-2 win on the same map point, producing
+    # duplicate observations in the pose solve and double obs counts at KF
+    # insertion. Ownership table indexed by map-point id; stage-2 wins.
+    NP = state.pt_pos.shape[0]
+    K = mp_idx2.shape[0]
+    k_idx = jnp.arange(K, dtype=jnp.int32)
+    tgt = jnp.where(mp_idx2 >= 0, mp_idx2, NP)
+    stage2 = pm2.mp_idx >= 0
+    owner = jnp.full(NP + 1, -1, jnp.int32)
+    owner = owner.at[jnp.where(~stage2, tgt, NP)].set(k_idx)
+    owner = owner.at[jnp.where(stage2, tgt, NP)].set(k_idx)
+    mp_idx2 = jnp.where(owner[jnp.clip(mp_idx2, 0)] == k_idx, mp_idx2, -1)
     plane_m2 = map_ops.match_planes(
         state, feats.planes.coeffs, feats.planes.valid, opt.T_cw,
         assoc_ang=cfg.plane.association_ang_ref,
