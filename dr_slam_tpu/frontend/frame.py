@@ -69,7 +69,15 @@ def _extract_frame(gray, depth, cam, orb, plane, line) -> FrameFeatures:
         scale=orb.scale_factor, max_keypoints=orb.max_keypoints,
         cell=orb.cell_size, ini_th=float(orb.ini_th_fast),
         min_th=float(orb.min_th_fast))
+    # depth is sampled at the RAW pixel location (the depth image lives in
+    # distorted pixel space), the geometry at the UNDISTORTED one
     d = _sample_depth(depth, kp.uv)
+    dist = (cam.k1, cam.k2, cam.p1, cam.p2, cam.k3)
+    if any(c != 0.0 for c in dist):
+        # UndistortKeyPoints (reference src/Frame.cc:835): all projective
+        # geometry downstream assumes an ideal pinhole camera
+        from dr_slam_tpu.geometry.camera import undistort_points
+        kp = kp._replace(uv=undistort_points(kp.uv, K4, dist))
     ur = jnp.where(d > 1e-3, kp.uv[:, 0] - cam.bf / jnp.maximum(d, 1e-6), -1.0)
     fx, fy, cx, cy = K4
     xyz = jnp.stack([(kp.uv[:, 0] - cx) / fx * d,

@@ -100,9 +100,14 @@ def segment_planes(depth: jnp.ndarray, K4, block: int = 8, max_planes: int = 8,
     n, d, mse = eig33.plane_from_cov(mean, cov)
     z = jnp.maximum(mean[..., 2], 0.3)
     sigma = mse_factor * z * z          # depth-adaptive noise model (PEAC-like)
+    # Degeneracy gate: the normal is well-defined only when the block's
+    # points genuinely spread in 2D (mid eigenvalue clearly positive).
+    # Gating on |n_z| instead would kill legitimate edge-on planes (corridor
+    # walls viewed along the wall have n_z ~ 0 up to rounding).
+    lam1 = eig33.eigvals_sym3(cov)[..., 1]
     planar = ((cnt > 0.75 * block * block)
               & (mse < jnp.maximum(sigma * sigma, 1e-8))
-              & (jnp.abs(n[..., 2]) > 1e-6))
+              & (lam1 > 1e-7))
 
     # --- iterated min-label propagation (the ahCluster merge loop) ---------
     flat_idx = jnp.arange(nb, dtype=jnp.int32).reshape(gh, gw)

@@ -44,6 +44,9 @@ class MapState(NamedTuple):
     # --- keyframes (KeyFrame equivalent, include/KeyFrame.h) ---------------
     kf_pose: jnp.ndarray       # (NK, 4, 4) T_cw
     kf_valid: jnp.ndarray      # (NK,) bool
+    kf_seq: jnp.ndarray        # (NK,) int32 insertion sequence number (-1 dead)
+                               #   rows are SLOTS (reused after KeyFrameCulling)
+                               #   so temporal order lives here, not in the index
     kf_ts: jnp.ndarray         # (NK,) float64-ish timestamp (f32 ok for tests)
     kf_uv: jnp.ndarray         # (NK, K, 2)
     kf_ur: jnp.ndarray         # (NK, K) stereo right coord (-1 mono)
@@ -72,8 +75,9 @@ class MapState(NamedTuple):
     manhattan_ok: jnp.ndarray  # () bool
     # --- counters ------------------------------------------------------------
     n_pts: jnp.ndarray         # () int32
-    n_kfs: jnp.ndarray         # () int32
+    n_kfs: jnp.ndarray         # () int32 -- ALIVE keyframes (sum of kf_valid)
     n_lns: jnp.ndarray         # () int32
+    kf_next_seq: jnp.ndarray   # () int32 -- total keyframes ever inserted
 
 
 def make_empty_state(cfg: SlamConfig) -> MapState:
@@ -89,6 +93,7 @@ def make_empty_state(cfg: SlamConfig) -> MapState:
         pt_obs_count=z(NP, jnp.int32), pt_first_kf=z(NP, jnp.int32),
         pt_angle=z(NP),
         kf_pose=jnp.tile(jnp.eye(4)[None], (NK, 1, 1)), kf_valid=z(NK, bool),
+        kf_seq=jnp.full((NK,), -1, jnp.int32),
         kf_ts=z(NK), kf_uv=z((NK, K, 2)), kf_ur=z((NK, K)),
         kf_xyz=z((NK, K, 3)), kf_desc=z((NK, K, 8), jnp.uint32),
         kf_sigma2=jnp.ones((NK, K)), kf_kp_valid=z((NK, K), bool),
@@ -102,4 +107,5 @@ def make_empty_state(cfg: SlamConfig) -> MapState:
         R_wm=jnp.eye(3), manhattan_ok=jnp.asarray(False),
         n_pts=jnp.asarray(0, jnp.int32), n_kfs=jnp.asarray(0, jnp.int32),
         n_lns=jnp.asarray(0, jnp.int32),
+        kf_next_seq=jnp.asarray(0, jnp.int32),
     )

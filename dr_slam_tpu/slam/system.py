@@ -51,9 +51,7 @@ class System:
         GrabImageRGBD (Tracking.cc:191). Color conversion/resizing is the
         caller's job here; gray is (H, W) [0,255], depth (H, W) meters."""
         if self.only_tracking:
-            res = self.tracker.process_localization_only(gray, depth, timestamp) \
-                if hasattr(self.tracker, "process_localization_only") \
-                else self.tracker.process_frame(gray, depth, timestamp)
+            res = self.tracker.process_localization_only(gray, depth, timestamp)
         else:
             res = self.tracker.process_frame(gray, depth, timestamp)
         if res.is_keyframe and self.enable_loop_closing:
@@ -105,18 +103,27 @@ class System:
 
     # -- savers (System.cc:379-562) -------------------------------------------
     def save_trajectory_tum(self, path: str):
-        ts = [t for t, _ in self.tracker.trajectory]
-        poses = [p for _, p in self.tracker.trajectory]
+        """Loop-corrected export (System.cc:379-440): every frame's pose is
+        recomposed from its reference keyframe's CURRENT pose, so loop
+        closure / global BA corrections reach the saved trajectory."""
+        corrected = self.tracker.corrected_trajectory()
+        ts = [t for t, _ in corrected]
+        poses = [p for _, p in corrected]
         save_trajectory_tum(path, ts, poses)
 
     def save_keyframe_trajectory_tum(self, path: str):
-        ts = [t for t, _ in self.tracker.kf_log]
-        poses = [p for _, p in self.tracker.kf_log]
-        save_keyframe_trajectory_tum(path, ts, poses)
+        """Keyframe poses read from the CURRENT map state (System.cc:442+)."""
+        import numpy as _np
+        st = self.tracker.map_state
+        n = int(st.n_kfs)
+        kf_pose = _np.asarray(st.kf_pose[:n])
+        kf_ts = _np.asarray(st.kf_ts[:n])
+        save_keyframe_trajectory_tum(path, list(kf_ts), list(kf_pose))
 
     def save_trajectory_manhattan(self, path: str):
-        ts = [t for t, _ in self.tracker.trajectory]
-        poses = [p for _, p in self.tracker.trajectory]
+        corrected = self.tracker.corrected_trajectory()
+        ts = [t for t, _ in corrected]
+        poses = [p for _, p in corrected]
         R_wm = np.asarray(self.tracker.map_state.R_wm)
         save_trajectory_manhattan(path, ts, poses, R_mw=R_wm.T)
 

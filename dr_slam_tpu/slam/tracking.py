@@ -72,8 +72,15 @@ class Tracker:
     last_kf_inliers: int = 500
     ref_kf: int = 0
     frame_id: int = -1
-    trajectory: list = field(default_factory=list)   # (ts, T_cw)
+    only_tracking: bool = False      # mbOnlyTracking (Tracking.cc:378-457)
+    trajectory: list = field(default_factory=list)   # (ts, T_cw) at track time
     kf_log: list = field(default_factory=list)
+    # Loop-corrected trajectory bookkeeping (Tracking.cc:712-724): per frame
+    # store (ts, ref_kf, T_frame_cw @ inv(T_refkf_cw at track time)) so loop
+    # closure / GBA corrections of keyframe poses retroactively fix every
+    # frame at save time (System.cc:379-440).
+    traj_rel: list = field(default_factory=list)     # (ts, ref_kf, T_rel)
+    kf_pose_host: dict = field(default_factory=dict)  # kf_id -> np 4x4 at insert
 
     def __post_init__(self):
         self.map_state = make_empty_state(self.cfg)
@@ -96,7 +103,12 @@ class Tracker:
         else:
             res = self._track(feats, timestamp)
 
-        self.trajectory.append((timestamp, np.asarray(res.T_cw)))
+        T_np = np.asarray(res.T_cw)
+        self.trajectory.append((timestamp, T_np))
+        T_ref = self.kf_pose_host.get(self.ref_kf)
+        self.traj_rel.append((
+            timestamp, self.ref_kf,
+            T_np if T_ref is None else T_np @ np.linalg.inv(T_ref)))
         if self.metrics is not None:
             self.metrics.log("frame", idx=self.frame_id,
                              state=res.state.name, inliers=res.n_inliers,
@@ -105,11 +117,39 @@ class Tracker:
         return res
 
     # ------------------------------------------------------------------
+    def process_localization_only(self, gray, depth,
+                                  timestamp: float) -> TrackingResult:
+        """Pure-localization tracking (System::ActivateLocalizationMode,
+        System.cc:338; the mbOnlyTracking branch of Track(),
+        Tracking.cc:378-457): match + optimize against a FROZEN map. No
+        keyframe insertion, no culling, no BA, no landmark statistics --
+        the map state is bit-identical before and after."""
+        prev = self.only_tracking
+        self.only_tracking = True
+        try:
+            return self.process_frame(gray, depth, timestamp)
+        finally:
+            self.only_tracking = prev
+
+    # ------------------------------------------------------------------
+    def corrected_trajectory(self) -> list:
+        """[(ts, T_cw)] with each frame recomposed from its reference
+        keyframe's CURRENT pose (System::SaveTrajectoryTUM semantics,
+        System.cc:379-440): loop closure / GBA corrections of keyframe
+        poses propagate retroactively to every tracked frame."""
+        kf_pose = np.asarray(self.map_state.kf_pose)
+        return [(ts, T_rel @ kf_pose[ref]) for ts, ref, T_rel in self.traj_rel]
+
+    # ------------------------------------------------------------------
     def _initialize(self, feats: FrameFeatures, ts: float) -> TrackingResult:
         """StereoInitialization (Tracking.cc:1549): first frame becomes
         KF0 at the origin; points from depth; planes seed the map; the
         Manhattan frame is bootstrapped from the frame's planes/lines
         (Map::FindManhattan)."""
+        if self.only_tracking:
+            raise RuntimeError(
+                "localization-only mode needs a loaded map (System.load_map) "
+                "-- cannot initialize a new map without mutating it")
         n_depth = int(jnp.sum(feats.kp.valid & (feats.kp_depth > 1e-3)))
         if n_depth < 200:
             return TrackingResult(np.eye(4), self.state, 0, 0, False, False, ts)
@@ -150,6 +190,7 @@ class Tracker:
         self.last_kf_frame = self.frame_id
         self.ref_kf = int(kf_id)
         self.kf_log.append((ts, np.eye(4)))
+        self.kf_pose_host[int(kf_id)] = np.eye(4)
         return TrackingResult(np.eye(4), self.state, n_depth, n_depth,
                               bool(mok), True, ts)
 
@@ -160,7 +201,10 @@ class Tracker:
         cfg = self.cfg
         out = track_step(self.map_state, feats, self.T_cw, self.velocity,
                          self.R_cm, jnp.asarray(self.ref_kf), cfg)
-        self.map_state = out.new_map_state
+        if not self.only_tracking:
+            # localization-only mode keeps the map frozen: not even the
+            # visibility statistics move (they feed culling, which won't run)
+            self.map_state = out.new_map_state
         # single host readback of the per-frame scalars
         n_inliers, n_matches, man_ok, jump = (
             int(out.n_inliers), int(out.n_matches), bool(out.man_ok),
@@ -184,8 +228,9 @@ class Tracker:
 
         # --- keyframe decision (NeedNewKeyFrame, Tracking.cc:2907) ----------
         frames_since = self.frame_id - self.last_kf_frame
-        need_kf = (frames_since >= cfg.tracking.min_frames
-                   or n_inliers < 0.5 * max(self.last_kf_inliers, 100))
+        need_kf = (not self.only_tracking
+                   and (frames_since >= cfg.tracking.min_frames
+                        or n_inliers < 0.5 * max(self.last_kf_inliers, 100)))
         is_kf = False
         if need_kf and int(self.map_state.n_kfs) < cfg.map.max_keyframes - 1:
             bow = compute_bow(feats.kp.desc, feats.kp.valid,
@@ -220,7 +265,9 @@ class Tracker:
             self.last_kf_frame = self.frame_id
             self.last_kf_inliers = n_inliers
             self.ref_kf = int(kf_id)
-            self.kf_log.append((ts, np.asarray(T_cur)))
+            T_kf = np.asarray(T_cur)
+            self.kf_log.append((ts, T_kf))
+            self.kf_pose_host[int(kf_id)] = T_kf
             is_kf = True
 
         return TrackingResult(np.asarray(T_cur), self.state, n_inliers,
@@ -285,6 +332,11 @@ class Tracker:
                 self.velocity = jnp.eye(4)
                 self.state = TrackState.OK
                 self.ref_kf = int(kf_id)
+                if self.ref_kf not in self.kf_pose_host:
+                    # relocalizing into a loaded map: cache the ref pose so
+                    # the relative-trajectory bookkeeping has an anchor
+                    self.kf_pose_host[self.ref_kf] = np.asarray(
+                        st.kf_pose[self.ref_kf])
                 if bool(st.manhattan_ok):
                     self.R_cm = opt.T_cw[:3, :3] @ st.R_wm
                 return TrackingResult(np.asarray(opt.T_cw), self.state,
