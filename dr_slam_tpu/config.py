@@ -126,6 +126,11 @@ class TrackingConfig:
     use_ref_kf_anchor: bool = False   # brute-force matches alias on repetitive texture
     run_ba_on_keyframe: bool = True
     run_cull_on_keyframe: bool = True
+    # LocalMapping completion (reference LocalMapping.cc):
+    run_fuse_on_keyframe: bool = True       # SearchInNeighbors/Fuse (:1039)
+    run_triangulation: bool = True          # CreateNewMapPoints (:309)
+    run_kf_culling: bool = True             # KeyFrameCulling (:1226)
+    fuse_dist: float = 0.05                 # 3D merge radius (m)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,11 +45,12 @@ class NativeTUMLoader:
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
             ctypes.c_int]
-        self._lib.loader_next.restype = ctypes.c_int
-        self._lib.loader_next.argtypes = [
+        self._lib.loader_next_ex.restype = ctypes.c_int
+        self._lib.loader_next_ex.argtypes = [
             ctypes.c_void_p,
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.POINTER(ctypes.c_int)]
         self._lib.loader_close.argtypes = [ctypes.c_void_p]
 
         self.dataset = dataset
@@ -66,12 +67,22 @@ class NativeTUMLoader:
             float(dataset.depth_factor), queue_cap)
 
     def __iter__(self):
+        """Yields (index, timestamp, gray, depth); frames whose PNGs failed
+        to decode (corrupt, palette, interlaced) fall back to the PIL path
+        and raise there if genuinely unreadable -- a decode failure must not
+        silently feed black frames into tracking."""
         gray = np.empty((self.h, self.w), np.float32)
         depth = np.empty((self.h, self.w), np.float32)
+        err = ctypes.c_int(0)
         while True:
-            idx = self._lib.loader_next(self._handle, gray, depth)
+            idx = self._lib.loader_next_ex(self._handle, gray, depth,
+                                           ctypes.byref(err))
             if idx < 0:
                 break
+            if err.value != 0:
+                fr = self.dataset[idx]   # PIL fallback (raises if unreadable)
+                yield idx, self.timestamps[idx], fr.gray, fr.depth
+                continue
             yield idx, self.timestamps[idx], gray.copy(), depth.copy()
 
     def close(self):

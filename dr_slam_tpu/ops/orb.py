@@ -135,21 +135,39 @@ def _extract_level(img_l: jnp.ndarray, blur_l: jnp.ndarray, n_take: int,
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inb = ((yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border))
-    score = jnp.where(inb, score, -jnp.inf)
-    score = fast_ops.nms3x3(score)
+    score0 = jnp.where(inb, score, -jnp.inf)   # pre-NMS (for subpixel fit)
+    score = fast_ops.nms3x3(score0)
 
     cs, cy, cx = _cell_winners(score, cell)
     k = min(n_take, cs.shape[0])
     top_s, top_i = jax.lax.top_k(cs, k)
-    u = cx[top_i].astype(jnp.float32)
-    v = cy[top_i].astype(jnp.float32)
+    ui0 = cx[top_i]
+    vi0 = cy[top_i]
     valid = top_s > min_th
 
-    # orientation at winners
+    # subpixel refinement: 1D quadratic fit on the raw score map around the
+    # integer winner (the reference keeps integer FAST corners; the residual
+    # half-pixel quantization is a viewpoint-dependent bias that accumulates
+    # in closed-loop tracking -- docs/ROUND1_NOTES.md)
+    s_c = score0[vi0, ui0]
+    s_l = score0[vi0, ui0 - 1]
+    s_r = score0[vi0, ui0 + 1]
+    s_u = score0[vi0 - 1, ui0]
+    s_d = score0[vi0 + 1, ui0]
+    denx = s_l - 2.0 * s_c + s_r
+    deny = s_u - 2.0 * s_c + s_d
+    offx = jnp.where(jnp.isfinite(denx) & (jnp.abs(denx) > 1e-6),
+                     0.5 * (s_l - s_r) / jnp.where(jnp.abs(denx) > 1e-6,
+                                                   denx, 1.0), 0.0)
+    offy = jnp.where(jnp.isfinite(deny) & (jnp.abs(deny) > 1e-6),
+                     0.5 * (s_u - s_d) / jnp.where(jnp.abs(deny) > 1e-6,
+                                                   deny, 1.0), 0.0)
+    u = ui0.astype(jnp.float32) + jnp.clip(offx, -0.5, 0.5)
+    v = vi0.astype(jnp.float32) + jnp.clip(offy, -0.5, 0.5)
+
+    # orientation at winners (integer location; moments vary smoothly)
     m10, m01 = orientation_maps(img_l)
-    ui = cx[top_i]
-    vi = cy[top_i]
-    angle = jnp.arctan2(m01[vi, ui], m10[vi, ui])
+    angle = jnp.arctan2(m01[vi0, ui0], m10[vi0, ui0])
 
     # steered BRIEF from the blurred level image
     a_bin = jnp.round(angle / (2 * jnp.pi / ANGLE_BINS))

@@ -46,7 +46,8 @@ def _covis_counts(state: MapState, kf_id) -> jnp.ndarray:
 @jax.jit
 def _match_kf_pairs(state: MapState, kf_a, kf_b):
     """Descriptor matches between two keyframes' features that both have map
-    points -> camera-frame 3D pairs for Horn alignment."""
+    points -> camera-frame 3D pairs for Horn alignment (+ the matched
+    feature index in kf_b for projection refinement)."""
     da = state.kf_desc[kf_a]
     db = state.kf_desc[kf_b]
     va = state.kf_kp_valid[kf_a] & (state.kf_mp[kf_a] >= 0)
@@ -59,7 +60,32 @@ def _match_kf_pairs(state: MapState, kf_a, kf_b):
     mp_b = jnp.clip(state.kf_mp[kf_b][jnp.clip(match, 0)], 0)
     Xa = se3.transform_points(state.kf_pose[kf_a], state.pt_pos[mp_a])
     Xb = se3.transform_points(state.kf_pose[kf_b], state.pt_pos[mp_b])
-    return Xa, Xb, ok
+    return Xa, Xb, ok, match
+
+
+@jax.jit
+def _refine_loop_rel(state: MapState, cur_kf, Xa, match_b, ok, T_rel, K4):
+    """Refine the loop relative transform by minimizing the reprojection of
+    the loop keyframe's landmarks (camera-frame points Xa) against their
+    matched pixel observations in the current keyframe -- the projection-
+    error refinement the reference runs as OptimizeSim3 (Optimizer.cc:3982)
+    between Sim3-RANSAC and the essential graph. Falls back to the RANSAC
+    estimate when the refinement loses inliers (aliased match sets)."""
+    from dr_slam_tpu.optimize.pose_opt import PoseObservations, pose_optimize
+
+    K = Xa.shape[0]
+    uv_b = state.kf_uv[cur_kf][jnp.clip(match_b, 0)]
+    sigma2 = state.kf_sigma2[cur_kf][jnp.clip(match_b, 0)]
+    obs = PoseObservations.empty(K, 1, 1, 1)
+    obs = obs._replace(
+        pt_world=Xa,
+        pt_obs=jnp.concatenate([uv_b, -jnp.ones((K, 1))], -1),  # mono
+        pt_inv_sigma2=1.0 / jnp.maximum(sigma2, 1e-6),
+        pt_valid=ok)
+    opt = pose_optimize(T_rel, obs, jnp.asarray(K4, jnp.float32), bf=1.0,
+                        n_rounds=2, n_iters=8)
+    good = opt.n_inliers >= 15
+    return jnp.where(good, opt.T_cw, T_rel)
 
 
 @dataclass
@@ -76,28 +102,32 @@ class LoopCloser:
             return state, False
 
         # ---- detection -----------------------------------------------------
+        # keyframe rows are SLOTS; temporal adjacency lives in kf_seq
+        valid = np.asarray(state.kf_valid)
+        seq = np.asarray(state.kf_seq)
         scores = np.asarray(bow_scores(state.kf_bow[cur_kf], state.kf_bow,
                                        state.kf_valid))
         covis = np.asarray(_covis_counts(state, jnp.asarray(cur_kf)))
         neighbor = covis > 10
         neighbor[cur_kf] = True
-        recent = np.abs(np.arange(len(scores)) - cur_kf) < self.min_kf_gap
+        recent = np.abs(seq - seq[cur_kf]) < self.min_kf_gap
         min_score = float(scores[neighbor & (scores > 0)].min()) \
             if (neighbor & (scores > 0)).any() else 0.05
-        cand_mask = (scores >= max(min_score, 0.05)) & ~neighbor & ~recent
-        cand_mask[n_kfs:] = False
+        cand_mask = (scores >= max(min_score, 0.05)) & ~neighbor & ~recent \
+            & valid
         candidates = np.where(cand_mask)[0]
         if len(candidates) == 0:
             self._consistency = {}
             return state, False
 
-        # consistency across consecutive keyframes (LoopClosing.cc:199-257)
+        # consistency across consecutive keyframes (LoopClosing.cc:199-257);
+        # keyed by insertion sequence so slot reuse cannot alias a streak
         new_consistency = {}
         confirmed = []
         for c in candidates:
             streak = 1 + max((v for k, v in self._consistency.items()
-                              if abs(k - c) <= 3), default=0)
-            new_consistency[int(c)] = streak
+                              if abs(k - seq[c]) <= 3), default=0)
+            new_consistency[int(seq[c])] = streak
             if streak >= self.consistency_needed:
                 confirmed.append(int(c))
         self._consistency = new_consistency
@@ -106,14 +136,18 @@ class LoopCloser:
 
         # ---- geometric verification (ComputeSim3 capability) ----------------
         best = max(confirmed, key=lambda c: scores[c])
-        Xa, Xb, ok = _match_kf_pairs(state, jnp.asarray(best),
-                                     jnp.asarray(cur_kf))
+        Xa, Xb, ok, match_b = _match_kf_pairs(state, jnp.asarray(best),
+                                              jnp.asarray(cur_kf))
         if int(jnp.sum(ok)) < 20:
             return state, False
         # T maps candidate-frame coords -> current-frame coords
         T_rel, s, n_inl = sim3_ransac(Xa, Xb, ok, inlier_dist=0.10)
         if int(n_inl) < 20:
             return state, False
+        # projection-error refinement between RANSAC and the pose graph
+        # (the role of OptimizeSim3, Optimizer.cc:3982; scale fixed for RGB-D)
+        T_rel = _refine_loop_rel(state, jnp.asarray(cur_kf), Xa, match_b,
+                                 ok, T_rel, self.cfg.camera.K4)
 
         # ---- correction ------------------------------------------------------
         state = self._correct(state, cur_kf, best, T_rel)
@@ -124,20 +158,25 @@ class LoopCloser:
     def _correct(self, state: MapState, cur_kf: int, loop_kf: int,
                  T_rel: jnp.ndarray) -> MapState:
         NK = state.kf_pose.shape[0]
-        n_kfs = int(state.n_kfs)
+        valid = np.asarray(state.kf_valid)
+        seq = np.asarray(state.kf_seq)
+        alive = np.where(valid)[0]
+        order = alive[np.argsort(seq[alive])]  # slots in temporal order
 
         # edge table: temporal chain + top covisibility + the loop edge
         edges_i, edges_j, weights = [], [], []
-        for k in range(1, n_kfs):
-            edges_i.append(k - 1)
-            edges_j.append(k)
+        for a, b in zip(order[:-1], order[1:]):
+            edges_i.append(int(a))
+            edges_j.append(int(b))
             weights.append(1.0)
         covis_full = np.asarray(_covis_full(state))
-        for k in range(n_kfs):
+        seq_gap = np.abs(seq[:, None] - seq[None, :])
+        for k in order:
             top = np.argsort(-covis_full[k])[:4]
             for j in top:
-                if j != k and covis_full[k, j] > 15 and abs(int(j) - k) > 1:
-                    edges_i.append(k)
+                if (j != k and valid[j] and covis_full[k, j] > 15
+                        and seq_gap[k, j] > 1):
+                    edges_i.append(int(k))
                     edges_j.append(int(j))
                     weights.append(1.0)
         edges_i.append(int(loop_kf))
@@ -155,7 +194,9 @@ class LoopCloser:
         # inv(T_rel) on the loop-closed cycle.
         T_ij = T_ij.at[E - 1].set(se3.inv_T(T_rel))
 
-        fixed = jnp.zeros(NK, dtype=bool).at[0].set(True).at[loop_kf].set(True)
+        first_slot = int(order[0])  # oldest alive keyframe anchors the gauge
+        fixed = (jnp.zeros(NK, dtype=bool).at[first_slot].set(True)
+                 .at[loop_kf].set(True))
         g = PoseGraph(
             poses=poses, pose_valid=state.kf_valid,
             edge_i=ei, edge_j=ej, edge_T_ij=T_ij,
@@ -165,6 +206,14 @@ class LoopCloser:
         new_poses = optimize_pose_graph(g)
 
         state = _reanchor_map(state, new_poses)
+
+        # SearchAndFuse (LoopClosing.cc:633): after correction the two map
+        # copies around the seam overlap -- merge landmarks created by the
+        # recent keyframes into their older duplicates.
+        from dr_slam_tpu.slam import map_ops
+        recent_slots = valid & (seq >= seq[cur_kf] - 5)
+        seam = jnp.asarray(recent_slots)[jnp.clip(state.pt_first_kf, 0)]
+        state = map_ops.fuse_points_mask(state, seam, fuse_dist=0.10)
 
         if self.run_gba:
             prob = problem_from_state(state)

@@ -365,7 +365,9 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
     matched landmark statistics. Returns (state, kf_slot)."""
     K = cfg.orb.max_keypoints
     NP = cfg.map.max_points
-    k = state.n_kfs  # keyframes are append-only in round 1 (no KF culling yet)
+    # keyframe rows are SLOTS: KeyFrameCulling frees rows, so allocate the
+    # lowest free one; temporal order lives in kf_seq (insertion counter)
+    k = _free_slots(state.kf_valid)[0]
     T_wc = se3.inv_T(T_cw)
     cam_center = T_wc[:3, 3]
 
@@ -414,16 +416,19 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
         pt_first_kf=pt_first, pt_obs_count=pt_obs, pt_angle=pt_angle,
         kf_pose=state.kf_pose.at[k].set(T_cw),
         kf_valid=state.kf_valid.at[k].set(True),
+        kf_seq=state.kf_seq.at[k].set(state.kf_next_seq),
+        kf_next_seq=state.kf_next_seq + 1,
         kf_ts=state.kf_ts.at[k].set(ts),
         kf_uv=state.kf_uv.at[k].set(feats.kp.uv),
         kf_ur=state.kf_ur.at[k].set(feats.kp_ur),
         kf_xyz=state.kf_xyz.at[k].set(feats.kp_xyz),
         kf_desc=state.kf_desc.at[k].set(feats.kp.desc),
         kf_sigma2=state.kf_sigma2.at[k].set(feats.kp.sigma2),
+        kf_angle=state.kf_angle.at[k].set(feats.kp.angle),
         kf_kp_valid=state.kf_kp_valid.at[k].set(feats.kp.valid),
         kf_mp=state.kf_mp.at[k].set(kf_mp_row),
         kf_bow=state.kf_bow.at[k].set(bow),
-        n_kfs=state.n_kfs + 1,
+        n_kfs=jnp.sum(state.kf_valid.at[k].set(True)).astype(jnp.int32),
     )
 
     # ---- planes: update matched, add unmatched ------------------------------
@@ -546,6 +551,320 @@ def cull_map(state: MapState, merge_angle_cos: float = 0.985,
     return state._replace(pt_valid=pt_valid, pl_valid=pl_valid,
                           ln_valid=ln_valid, kf_mp=kf_mp,
                           pt_obs_count=pt_obs_count, n_pts=jnp.sum(pt_valid))
+
+
+# ===========================================================================
+# LocalMapping completion: fuse, keyframe culling, triangulation
+# ===========================================================================
+
+
+def _recount_point_obs(kf_mp, kf_kp_valid, kf_valid, NP) -> jnp.ndarray:
+    """(NP,) int32: exact per-point observation counts from the kf_mp table
+    (alive keyframes only). The single source of truth after any merge."""
+    NK, K = kf_mp.shape
+    flat = kf_mp.reshape(-1)
+    ok = ((flat >= 0) & kf_kp_valid.reshape(-1)
+          & jnp.repeat(kf_valid, K))
+    tgt = jnp.where(ok, flat, NP)
+    return jnp.zeros(NP + 1, jnp.int32).at[tgt].add(1)[:NP]
+
+
+def _dedup_kf_rows(kf_mp: jnp.ndarray) -> jnp.ndarray:
+    """Per keyframe row, keep only the first feature observing each map
+    point (a merge can leave two features of one KF pointing at the same
+    landmark, which would double-count its BA observation)."""
+
+    def dedup_row(row):
+        order = jnp.argsort(row)          # stable: first feature wins
+        srt = row[order]
+        dup_s = (srt == jnp.roll(srt, 1)) & (srt >= 0)
+        dup_s = dup_s.at[0].set(False)
+        dup = jnp.zeros_like(dup_s).at[order].set(dup_s)
+        return jnp.where(dup, -1, row)
+
+    return jax.vmap(dedup_row)(kf_mp)
+
+
+def fuse_new_points(state: MapState, new_kf,
+                    fuse_dist: float = 0.05,
+                    max_hamming: float = TH_LOW) -> MapState:
+    """Merge landmarks created by keyframe `new_kf` into pre-existing
+    landmarks they duplicate (capability of SearchInNeighbors /
+    ORBmatcher::Fuse, LocalMapping.cc:1039 / ORBmatcher.cc:829: the
+    reference projects and replaces; here duplicates are found directly by
+    3D proximity + descriptor distance, then every keyframe observation of
+    the loser is rewritten to the winner -- MapPoint::Replace semantics)."""
+    new = state.pt_valid & (state.pt_first_kf == new_kf)
+    return fuse_points_mask(state, new, fuse_dist, max_hamming)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def fuse_points_mask(state: MapState, new: jnp.ndarray,
+                     fuse_dist: float = 0.05,
+                     max_hamming: float = TH_LOW) -> MapState:
+    """Merge each point in `new` into its nearest duplicate OUTSIDE `new`
+    (3D proximity + descriptor gate). Shared by per-keyframe fuse and by
+    loop-closure SearchAndFuse (LoopClosing.cc:633), where `new` is the
+    current loop side of the seam."""
+    from dr_slam_tpu.ops.orb import bits_to_signs, unpack_bits
+
+    NP = state.pt_pos.shape[0]
+    NK, K = state.kf_mp.shape
+    new = state.pt_valid & new
+    old = state.pt_valid & ~new
+
+    # compact the (<= K) new points into fixed-size tables
+    rank = jnp.cumsum(new) - 1
+    tgt = jnp.where(new & (rank < K), rank, K)
+    new_ids = jnp.full(K + 1, -1, jnp.int32).at[tgt].set(
+        jnp.arange(NP, dtype=jnp.int32))[:K]
+    has_new = new_ids >= 0
+    ids = jnp.clip(new_ids, 0)
+    pos_new = state.pt_pos[ids]                        # (K, 3)
+    sg_new = bits_to_signs(unpack_bits(state.pt_desc[ids]))  # (K, 256)
+
+    C = min(_MATCH_CHUNK, NP)
+    n_chunks = -(-NP // C)
+    pad = n_chunks * C - NP
+
+    def pad_to(x, fill=0):
+        if pad == 0:
+            return x
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    pos_ch = pad_to(state.pt_pos, 1e9).reshape(n_chunks, C, 3)
+    old_ch = pad_to(old, False).reshape(n_chunks, C)
+    sg_ch = bits_to_signs(unpack_bits(pad_to(state.pt_desc))
+                          ).reshape(n_chunks, C, 256)
+    offs = jnp.arange(n_chunks, dtype=jnp.int32) * C
+
+    def body(carry, chunk):
+        best_d, best_i = carry
+        pc, oc, sc, off = chunk
+        d2 = jnp.sum((pos_new[:, None] - pc[None]) ** 2, -1)   # (K, C)
+        ham = (256.0 - jnp.dot(sg_new, sc.T,
+                               preferred_element_type=jnp.float32)) * 0.5
+        gate = (oc[None, :] & has_new[:, None]
+                & (d2 < fuse_dist * fuse_dist) & (ham <= max_hamming))
+        D = jnp.where(gate, d2, jnp.inf)
+        cmin = jnp.min(D, 1)
+        carg = jnp.argmin(D, 1).astype(jnp.int32)
+        upd = cmin < best_d
+        return (jnp.minimum(best_d, cmin),
+                jnp.where(upd, carg + off, best_i)), None
+
+    init = (jnp.full((K,), jnp.inf), jnp.zeros((K,), jnp.int32))
+    (best_d, best_old), _ = jax.lax.scan(
+        body, init, (pos_ch, old_ch, sg_ch, offs))
+    fused = has_new & jnp.isfinite(best_d)
+
+    # redirect table: loser -> winner
+    redirect = jnp.arange(NP, dtype=jnp.int32)
+    redirect = redirect.at[jnp.where(fused, ids, NP)].set(
+        best_old, mode="drop")
+    kf_mp = jnp.where(state.kf_mp >= 0,
+                      redirect[jnp.clip(state.kf_mp, 0)], state.kf_mp)
+    kf_mp = _dedup_kf_rows(kf_mp)
+
+    # the winner inherits the loser's match statistics (MapPoint::Replace
+    # accumulates nVisible/nFound onto the replacement)
+    win = jnp.where(fused, best_old, NP)
+    lose = jnp.clip(ids, 0)
+    pt_visible = state.pt_visible.at[win].add(
+        jnp.where(fused, state.pt_visible[lose], 0), mode="drop")
+    pt_found = state.pt_found.at[win].add(
+        jnp.where(fused, state.pt_found[lose], 0), mode="drop")
+    pt_valid = state.pt_valid.at[jnp.where(fused, ids, NP)].set(
+        False, mode="drop")
+    pt_obs = _recount_point_obs(kf_mp, state.kf_kp_valid, state.kf_valid, NP)
+    pt_obs = jnp.where(pt_valid, pt_obs, 0)
+    return state._replace(kf_mp=kf_mp, pt_valid=pt_valid,
+                          pt_visible=pt_visible, pt_found=pt_found,
+                          pt_obs_count=pt_obs, n_pts=jnp.sum(pt_valid))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("keep_recent",))
+def cull_one_keyframe(state: MapState, redundancy: float = 0.9,
+                      min_obs: int = 20, keep_recent: int = 2) -> MapState:
+    """KeyFrameCulling (LocalMapping.cc:1226): erase the most redundant
+    keyframe whose observations are >= `redundancy` covered by >= 3 other
+    keyframes. One cull per call (per keyframe insertion) -- culling many at
+    once could cascade two mutually-redundant keyframes away together. The
+    first keyframe (seq 0) and the `keep_recent` newest are protected."""
+    NK, K = state.kf_mp.shape
+    NP = state.pt_pos.shape[0]
+    obs = _recount_point_obs(state.kf_mp, state.kf_kp_valid, state.kf_valid,
+                             NP)
+    entry_ok = ((state.kf_mp >= 0) & state.kf_kp_valid
+                & state.kf_valid[:, None]
+                & state.pt_valid[jnp.clip(state.kf_mp, 0)])
+    well = obs[jnp.clip(state.kf_mp, 0)] >= 4          # self + 3 others
+    n_obs = jnp.sum(entry_ok, 1)
+    n_red = jnp.sum(entry_ok & well, 1)
+
+    seq = state.kf_seq
+    recent_th = jax.lax.top_k(seq, keep_recent)[0][keep_recent - 1]
+    protect = (seq <= 0) | (seq >= jnp.maximum(recent_th, 1))
+    ratio = n_red.astype(jnp.float32) / jnp.maximum(n_obs, 1).astype(jnp.float32)
+    cand = (state.kf_valid & ~protect & (n_obs >= min_obs)
+            & (ratio > redundancy))
+    kill = jnp.argmax(jnp.where(cand, ratio, -1.0)).astype(jnp.int32)
+    do = jnp.any(cand)
+
+    kf_valid = jnp.where(do, state.kf_valid.at[kill].set(False),
+                         state.kf_valid)
+    kf_mp = jnp.where(do, state.kf_mp.at[kill].set(-1), state.kf_mp)
+    kf_seq = jnp.where(do, state.kf_seq.at[kill].set(-1), state.kf_seq)
+    kf_kp_valid = jnp.where(do, state.kf_kp_valid.at[kill].set(False),
+                            state.kf_kp_valid)
+
+    # refresh per-point bookkeeping: observation counts, liveness (a point
+    # whose only observer died dies too), and the re-anchoring reference
+    # keyframe (pt_first_kf must stay an ALIVE slot for loop correction)
+    pt_obs = _recount_point_obs(kf_mp, kf_kp_valid, kf_valid, NP)
+    pt_valid = state.pt_valid & (pt_obs > 0)
+    flat = kf_mp.reshape(-1)
+    rows = jnp.repeat(jnp.arange(NK, dtype=jnp.int32), K)
+    ok = (flat >= 0) & kf_kp_valid.reshape(-1) & jnp.repeat(kf_valid, K)
+    first = jnp.full(NP + 1, NK, jnp.int32).at[
+        jnp.where(ok, flat, NP)].min(rows)[:NP]
+    pt_first_kf = jnp.where(pt_valid & (first < NK), first,
+                            state.pt_first_kf)
+    return state._replace(
+        kf_valid=kf_valid, kf_mp=kf_mp, kf_seq=kf_seq,
+        kf_kp_valid=kf_kp_valid, pt_obs_count=jnp.where(pt_valid, pt_obs, 0),
+        pt_valid=pt_valid, pt_first_kf=pt_first_kf,
+        n_pts=jnp.sum(pt_valid), n_kfs=jnp.sum(kf_valid).astype(jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def triangulate_with_kf(state: MapState, kf_a, kf_b, K4,
+                        max_hamming: float = TH_LOW,
+                        epipolar_chi2: float = 3.84,
+                        min_parallax_cos: float = 0.9998,
+                        reproj_chi2: float = 5.991) -> MapState:
+    """CreateNewMapPoints (LocalMapping.cc:309): epipolar-gated descriptor
+    matching between keyframe `kf_a` (new) and `kf_b` (neighbor) over
+    features with NO landmark and NO valid depth, then two-view mid-point
+    triangulation -- landmarks in depth-hole regions (beyond the sensor
+    range, holes, reflective surfaces) that per-frame depth can never
+    create. Parallax / positive-depth / reprojection gates as in the
+    reference."""
+    NP = state.pt_pos.shape[0]
+    NK, K = state.kf_mp.shape
+    fx, fy, cx, cy = K4
+    Km = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+    # eligible: no landmark AND no usable depth (none measured, or beyond
+    # the depth-creation cap -- the reference triangulates far points too)
+    def _free(kf):
+        no_depth = (state.kf_ur[kf] < 0) | (state.kf_xyz[kf, :, 2] >= 8.0)
+        return state.kf_kp_valid[kf] & (state.kf_mp[kf] < 0) & no_depth
+
+    free_a = _free(kf_a)
+    free_b = _free(kf_b)
+
+    ham = hamming_matrix(state.kf_desc[kf_a], state.kf_desc[kf_b])
+    T_a = state.kf_pose[kf_a]
+    T_b = state.kf_pose[kf_b]
+    # relative pose b -> a and fundamental matrix F_ab (x_b' F x_a = 0 with
+    # x in pixels): F = K^-T [t]x R K^-1 for the a->b transform
+    T_ba = T_b @ se3.inv_T(T_a)
+    R = T_ba[:3, :3]
+    t = T_ba[:3, 3]
+    tx = jnp.asarray([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0.0]])
+    Kinv = jnp.linalg.inv(Km)
+    F = Kinv.T @ tx @ R @ Kinv
+
+    uv_a = state.kf_uv[kf_a]
+    uv_b = state.kf_uv[kf_b]
+    ones = jnp.ones((K, 1))
+    xa = jnp.concatenate([uv_a, ones], -1)                 # (K, 3)
+    xb = jnp.concatenate([uv_b, ones], -1)
+    l_b = xa @ F.T                                          # (K, 3) lines in b
+    num = jnp.abs(jnp.einsum("ac,bc->ab", l_b, xb))         # (Ka, Kb)
+    den = jnp.sqrt(l_b[:, 0] ** 2 + l_b[:, 1] ** 2)[:, None]
+    d_epi = num / jnp.maximum(den, 1e-9)
+    sigma_b = jnp.sqrt(state.kf_sigma2[kf_b])[None, :]
+    epi_ok = d_epi < jnp.sqrt(epipolar_chi2) * sigma_b
+
+    gate = free_a[:, None] & free_b[None, :] & epi_ok
+    D = jnp.where(gate, ham, jnp.inf)
+    best_b = jnp.argmin(D, 1).astype(jnp.int32)
+    a_idx = jnp.arange(K)
+    best_d = D[a_idx, best_b]
+    rev = jnp.argmin(D, 0).astype(jnp.int32)
+    m_ok = (best_d <= max_hamming) & (rev[best_b] == a_idx)
+
+    # --- mid-point triangulation in world coordinates -----------------------
+    T_wa = se3.inv_T(T_a)
+    T_wb = se3.inv_T(T_b)
+    o_a = T_wa[:3, 3]
+    o_b = T_wb[:3, 3]
+    ray_a = jnp.stack([(uv_a[:, 0] - cx) / fx, (uv_a[:, 1] - cy) / fy,
+                       jnp.ones(K)], -1) @ T_wa[:3, :3].T   # (K, 3)
+    uvb = uv_b[best_b]
+    ray_b = jnp.stack([(uvb[:, 0] - cx) / fx, (uvb[:, 1] - cy) / fy,
+                       jnp.ones(K)], -1) @ T_wb[:3, :3].T
+    # solve min |o_a + s ra - o_b - u rb|: 2x2 normal equations
+    raa = jnp.sum(ray_a * ray_a, -1)
+    rbb = jnp.sum(ray_b * ray_b, -1)
+    rab = jnp.sum(ray_a * ray_b, -1)
+    dov = o_b - o_a
+    pa = jnp.sum(ray_a * dov, -1)
+    pb = jnp.sum(ray_b * dov, -1)
+    det = raa * rbb - rab * rab
+    safe_det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+    s = (pa * rbb - pb * rab) / safe_det
+    u = (pa * rab - pb * raa) / safe_det
+    X = 0.5 * (o_a + s[:, None] * ray_a + o_b + u[:, None] * ray_b)
+
+    norm_a = ray_a / jnp.linalg.norm(ray_a, axis=-1, keepdims=True)
+    norm_b = ray_b / jnp.linalg.norm(ray_b, axis=-1, keepdims=True)
+    parallax = jnp.sum(norm_a * norm_b, -1)
+
+    Xc_a = se3.transform_points(T_a, X)
+    Xc_b = se3.transform_points(T_b, X)
+    uv_ra = se3.project(jnp.asarray(K4, jnp.float32), Xc_a)
+    uv_rb = se3.project(jnp.asarray(K4, jnp.float32), Xc_b)
+    e_a = jnp.sum((uv_ra - uv_a) ** 2, -1) / state.kf_sigma2[kf_a]
+    e_b = jnp.sum((uv_rb - uvb) ** 2, -1) / state.kf_sigma2[kf_b][best_b]
+    good = (m_ok & (Xc_a[:, 2] > 0.1) & (Xc_b[:, 2] > 0.1)
+            & (parallax < min_parallax_cos) & (parallax > 0.0)
+            & (e_a < reproj_chi2) & (e_b < reproj_chi2)
+            & jnp.all(jnp.isfinite(X), -1))
+
+    # --- allocate point slots ------------------------------------------------
+    slots_all = _free_slots(state.pt_valid)
+    rank = jnp.cumsum(good) - 1
+    n_free = jnp.sum(~state.pt_valid)
+    can = good & (rank < n_free)
+    slot = jnp.where(can, slots_all[jnp.clip(rank, 0, NP - 1)], NP)
+    view = X - o_a
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True),
+                              1e-9)
+    two = jnp.full((K,), 2, jnp.int32)
+    state = state._replace(
+        pt_pos=state.pt_pos.at[slot].set(X, mode="drop"),
+        pt_normal=state.pt_normal.at[slot].set(view, mode="drop"),
+        pt_desc=state.pt_desc.at[slot].set(state.kf_desc[kf_a], mode="drop"),
+        pt_angle=state.pt_angle.at[slot].set(state.kf_angle[kf_a],
+                                             mode="drop"),
+        pt_valid=state.pt_valid.at[slot].set(True, mode="drop"),
+        pt_visible=state.pt_visible.at[slot].set(two, mode="drop"),
+        pt_found=state.pt_found.at[slot].set(two, mode="drop"),
+        pt_obs_count=state.pt_obs_count.at[slot].set(two, mode="drop"),
+        pt_first_kf=state.pt_first_kf.at[slot].set(kf_a, mode="drop"),
+    )
+    slot_c = jnp.clip(slot, 0, NP - 1).astype(jnp.int32)
+    row_a = state.kf_mp[kf_a].at[jnp.where(can, a_idx, K)].set(
+        slot_c, mode="drop")
+    row_b = state.kf_mp[kf_b].at[jnp.where(can, best_b, K)].set(
+        slot_c, mode="drop")
+    kf_mp = state.kf_mp.at[kf_a].set(row_a).at[kf_b].set(row_b)
+    return state._replace(kf_mp=kf_mp, n_pts=jnp.sum(state.pt_valid))
 
 
 @jax.jit

@@ -53,6 +53,7 @@ class MapState(NamedTuple):
     kf_xyz: jnp.ndarray        # (NK, K, 3) camera-frame backprojections
     kf_desc: jnp.ndarray       # (NK, K, 8) uint32
     kf_sigma2: jnp.ndarray     # (NK, K) scale^2
+    kf_angle: jnp.ndarray      # (NK, K) keypoint orientation (rad)
     kf_kp_valid: jnp.ndarray   # (NK, K) bool
     kf_mp: jnp.ndarray         # (NK, K) int32 map-point id or -1
     kf_bow: jnp.ndarray        # (NK, W) float32 tf-idf BoW vector
@@ -96,7 +97,8 @@ def make_empty_state(cfg: SlamConfig) -> MapState:
         kf_seq=jnp.full((NK,), -1, jnp.int32),
         kf_ts=z(NK), kf_uv=z((NK, K, 2)), kf_ur=z((NK, K)),
         kf_xyz=z((NK, K, 3)), kf_desc=z((NK, K, 8), jnp.uint32),
-        kf_sigma2=jnp.ones((NK, K)), kf_kp_valid=z((NK, K), bool),
+        kf_sigma2=jnp.ones((NK, K)), kf_angle=z((NK, K)),
+        kf_kp_valid=z((NK, K), bool),
         kf_mp=jnp.full((NK, K), -1, jnp.int32), kf_bow=z((NK, W)),
         pl_coef=z((NF, 4)).at[:, 2].set(1.0), pl_valid=z(NF, bool),
         pl_cloud=z((NF, Q, 3)), pl_cloud_valid=z((NF, Q), bool),

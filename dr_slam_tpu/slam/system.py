@@ -70,8 +70,19 @@ class System:
         new_state, corrected = self._loop_closer.process(
             self.tracker.map_state, self.tracker.ref_kf)
         if corrected:
-            self.tracker.map_state = new_state
-            self.metrics.log("loop_closed", kf=self.tracker.ref_kf)
+            import jax.numpy as jnp
+            tr = self.tracker
+            tr.map_state = new_state
+            # the correction moved the current keyframe (= current pose):
+            # re-seat the tracker on the corrected pose (CorrectLoop adjusts
+            # mpCurrentKF and propagates, LoopClosing.cc:448+)
+            T_c = new_state.kf_pose[tr.ref_kf]
+            tr.T_cw = T_c
+            tr.velocity = jnp.eye(4)
+            tr.kf_pose_host[tr.ref_kf] = np.asarray(T_c)
+            if bool(new_state.manhattan_ok):
+                tr.R_cm = T_c[:3, :3] @ new_state.R_wm
+            self.metrics.log("loop_closed", kf=tr.ref_kf)
 
     # -- modes (System.cc:338-354) ------------------------------------------
     def activate_localization_mode(self):
@@ -112,12 +123,16 @@ class System:
         save_trajectory_tum(path, ts, poses)
 
     def save_keyframe_trajectory_tum(self, path: str):
-        """Keyframe poses read from the CURRENT map state (System.cc:442+)."""
+        """Keyframe poses read from the CURRENT map state (System.cc:442+),
+        alive slots in insertion order."""
         import numpy as _np
         st = self.tracker.map_state
-        n = int(st.n_kfs)
-        kf_pose = _np.asarray(st.kf_pose[:n])
-        kf_ts = _np.asarray(st.kf_ts[:n])
+        valid = _np.asarray(st.kf_valid)
+        seq = _np.asarray(st.kf_seq)
+        alive = _np.where(valid)[0]
+        order = alive[_np.argsort(seq[alive])]
+        kf_pose = _np.asarray(st.kf_pose)[order]
+        kf_ts = _np.asarray(st.kf_ts)[order]
         save_keyframe_trajectory_tum(path, list(kf_ts), list(kf_pose))
 
     def save_trajectory_manhattan(self, path: str):

@@ -244,6 +244,7 @@ class Tracker:
                 obs_world=jax.vmap(
                     lambda p: se3.plane_to_world(T_cur, p))(
                         feats.planes.coeffs))
+            prev_kf = self.ref_kf
             self.map_state, kf_id = map_ops.add_keyframe(
                 self.map_state, feats, T_cur, ts, out.mp_idx, pm,
                 out.line_match, bow, cfg, blocked=blocked)
@@ -252,6 +253,19 @@ class Tracker:
                     self.map_state,
                     merge_angle_cos=cfg.plane.merge_angle_cos,
                     merge_dist=cfg.plane.merge_dist)
+            # LocalMapping completion (reference LocalMapping.cc Run):
+            # triangulate depth-less features against the previous keyframe
+            # (CreateNewMapPoints, :309), merge duplicate landmarks
+            # (SearchInNeighbors/Fuse, :1039), then cull one redundant
+            # keyframe (KeyFrameCulling, :1226) after BA.
+            if cfg.tracking.run_triangulation and prev_kf != int(kf_id):
+                self.map_state = map_ops.triangulate_with_kf(
+                    self.map_state, kf_id, jnp.asarray(prev_kf),
+                    cfg.camera.K4)
+            if cfg.tracking.run_fuse_on_keyframe:
+                self.map_state = map_ops.fuse_new_points(
+                    self.map_state, kf_id,
+                    fuse_dist=cfg.tracking.fuse_dist)
             # map refinement: on-device BA (reproj + depth) over the map
             # (capability of Local/GlobalBundleAdjustment; the reference
             # disables local BA, LocalMapping.cc:67-69 -- cheap on TPU)
@@ -262,6 +276,8 @@ class Tracker:
                 # BA moved the pose base; a velocity computed across the
                 # correction would mis-predict the next frame
                 self.velocity = jnp.eye(4)
+            if cfg.tracking.run_kf_culling:
+                self.map_state = map_ops.cull_one_keyframe(self.map_state)
             self.last_kf_frame = self.frame_id
             self.last_kf_inliers = n_inliers
             self.ref_kf = int(kf_id)

@@ -120,6 +120,7 @@ bool read_png(const std::string& path, Image* out) {
 
 struct Frame {
   int index;
+  int error = 0;  // bit 0: gray decode failed, bit 1: depth decode failed
   std::vector<float> gray;   // H*W in [0,255]
   std::vector<float> depth;  // H*W meters
 };
@@ -141,24 +142,32 @@ struct Loader {
       fr.gray.assign(size_t(w) * h, 0.f);
       fr.depth.assign(size_t(w) * h, 0.f);
       Image gi, di;
+      bool gray_ok = false;
       if (read_png(gray_paths[i], &gi) && gi.w == w && gi.h == h) {
         if (gi.channels == 1 && gi.bit_depth == 8) {
           for (int p = 0; p < w * h; ++p) fr.gray[p] = gi.data[p];
+          gray_ok = true;
         } else if (gi.channels == 3 && gi.bit_depth == 8) {
           for (int p = 0; p < w * h; ++p) {
             // BGR->gray weights matching the reference's cvtColor use
             fr.gray[p] = 0.299f * gi.data[3 * p] + 0.587f * gi.data[3 * p + 1]
                         + 0.114f * gi.data[3 * p + 2];
           }
+          gray_ok = true;
         }
       }
+      bool depth_ok = false;
       if (read_png(depth_paths[i], &di) && di.w == w && di.h == h &&
           di.bit_depth == 16 && di.channels == 1) {
         for (int p = 0; p < w * h; ++p) {
           uint16_t v = (uint16_t(di.data[2 * p]) << 8) | di.data[2 * p + 1];
           fr.depth[p] = float(v) / depth_factor;
         }
+        depth_ok = true;
       }
+      // A corrupt/unsupported PNG (palette, interlaced, truncated) must NOT
+      // silently feed black frames into tracking: flag it for the caller.
+      fr.error = (gray_ok ? 0 : 1) | (depth_ok ? 0 : 2);
       std::unique_lock<std::mutex> lk(mu);
       cv_push.wait(lk, [&] { return int(queue.size()) < cap || done.load(); });
       if (done.load()) return;
@@ -190,7 +199,10 @@ void* loader_open(const char** gray_paths, const char** depth_paths, int n,
   return l;
 }
 
-int loader_next(void* handle, float* gray_out, float* depth_out) {
+// err_out (may be null): 0 = ok, bit 0 = gray decode failed, bit 1 = depth
+// decode failed. Returns the frame index, or -1 at end of stream.
+int loader_next_ex(void* handle, float* gray_out, float* depth_out,
+                   int* err_out) {
   auto* l = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(l->mu);
   l->cv_pop.wait(lk, [&] { return !l->queue.empty() || l->done.load(); });
@@ -201,7 +213,12 @@ int loader_next(void* handle, float* gray_out, float* depth_out) {
   lk.unlock();
   memcpy(gray_out, fr.gray.data(), fr.gray.size() * sizeof(float));
   memcpy(depth_out, fr.depth.data(), fr.depth.size() * sizeof(float));
+  if (err_out) *err_out = fr.error;
   return fr.index;
+}
+
+int loader_next(void* handle, float* gray_out, float* depth_out) {
+  return loader_next_ex(handle, gray_out, depth_out, nullptr);
 }
 
 void loader_close(void* handle) {

@@ -112,3 +112,39 @@ def test_level_feature_counts():
     counts = orb.level_feature_counts(1000, 8, 1.2)
     assert sum(counts) == 1000
     assert counts[0] > counts[-1]
+
+
+def test_subpixel_corner_tracking():
+    """Subpixel FAST refinement (quadratic fit on the score map): the
+    detected corner must move LINEARLY with a subpixel shift of the
+    underlying corner. An integer detector snaps to the same pixel for
+    sub-0.5px shifts, producing the viewpoint-dependent keypoint bias that
+    accumulated into closed-loop drift in round 1 (docs/ROUND1_NOTES.md)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dr_slam_tpu.ops.orb import extract_orb
+
+    def corner_img(cx_, cy_, h=96, w=96):
+        x = np.arange(w)
+        y = np.arange(h)
+        covx = np.clip((x + 0.5) - cx_, 0, 1)[None, :] * (x[None, :] < cx_ + 40)
+        covy = np.clip((y + 0.5) - cy_, 0, 1)[:, None] * (y[:, None] < cy_ + 40)
+        return (30.0 + 200.0 * covx * covy).astype(np.float32)
+
+    offsets = [0.0, 0.2, 0.4, 0.6, 0.8]
+    det = []
+    for off in offsets:
+        img = jnp.asarray(corner_img(40.0 + off, 40.0 + off))
+        kp = extract_orb(img, n_features=20, n_levels=1, max_keypoints=32,
+                         cell=16)
+        uv = np.asarray(kp.uv)
+        v = np.asarray(kp.valid)
+        r = np.asarray(kp.response)
+        best = np.argmax(np.where(v, r, -1))
+        det.append(uv[best])
+    det = np.asarray(det)
+    # detected position minus true offset must be a CONSTANT (any fixed
+    # detector convention offset is fine; snapping to integers is not)
+    rel = det - np.asarray(offsets)[:, None]
+    spread = rel.max(0) - rel.min(0)
+    assert spread.max() < 0.1, (det, spread)
