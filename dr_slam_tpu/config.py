@@ -117,11 +117,12 @@ class TrackingConfig:
     max_frames: int = 30        # mMaxFrames = fps (Tracking.cc:94)
     motion_search_radius: float = 15.0
     reloc_search_radius: float = 10.0
-    # Use matched map lines as pose-optimization edges. The cell-grid line
-    # detector's 2D line equations carry a few px of bias and parallel-edge
-    # aliasing (a band's two edges) can pull the pose laterally; keep lines
-    # in the map/matching but out of the per-frame solve by default.
-    use_lines_in_pose: bool = False
+    # Use matched map lines as pose-optimization edges (the reference's
+    # EdgeLineProjectXYZOnlyPose, include/EdgeLine.h:155). Round 1 gated
+    # them out because the cell-grid line equations carried ~3 px of
+    # perpendicular bias; the gradient-ridge subpixel refinement
+    # (ops/lines.py) brings that under 0.05 px, so they are on by default.
+    use_lines_in_pose: bool = True
     use_planes_in_pose: bool = True
     use_ref_kf_anchor: bool = False   # brute-force matches alias on repetitive texture
     run_ba_on_keyframe: bool = True
@@ -131,6 +132,12 @@ class TrackingConfig:
     run_triangulation: bool = True          # CreateNewMapPoints (:309)
     run_kf_culling: bool = True             # KeyFrameCulling (:1226)
     fuse_dist: float = 0.05                 # 3D merge radius (m)
+    # One-frame-lag state machine: per-frame scalar decisions (LOST /
+    # keyframe) are resolved at the start of the NEXT frame, so the hot
+    # loop never blocks on a fresh device buffer (a fresh-buffer D2H costs
+    # ~90 ms over the TPU tunnel; a completed one ~1 ms). Decisions lag by
+    # exactly one frame; pose estimates are identical to synchronous mode.
+    deferred_readback: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,30 +53,39 @@ def _texture(p, plane_idx):
     u = jnp.where(plane_idx < 2, p[..., 2], jnp.where(plane_idx < 4, p[..., 0], p[..., 0]))
     v = jnp.where(plane_idx < 2, p[..., 1], jnp.where(plane_idx < 4, p[..., 2], p[..., 1]))
     phase = plane_idx.astype(jnp.float32) * 1.7
+
     # Isolated rectangles of per-cell pseudo-random brightness: L-shaped
     # corners (FAST-9 detectable; checkerboard X-junctions are NOT).
-    tu = u * 3.0 + phase
-    tv = v * 3.0 + 0.3 * phase
-    cu = jnp.floor(tu)
-    cv = jnp.floor(tv)
+    # Two frequencies so BOTH far views (coarse cells) and close-up views
+    # (fine cells) expose enough corners -- a single 0.33 m cell grid leaves
+    # a camera 1 m from a wall with only a handful of features.
+    def rect_layer(freq, key):
+        tu = u * freq + phase
+        tv = v * freq + 0.3 * phase
+        cu = jnp.floor(tu)
+        cv = jnp.floor(tv)
 
-    def cell_hash(k):
-        h = jnp.sin(cu * 12.9898 + cv * 78.233 + phase + k * 3.7) * 43758.5453
-        return h - jnp.floor(h)  # per-cell uniform [0,1)
+        def cell_hash(k):
+            h = jnp.sin(cu * 12.9898 + cv * 78.233 + phase
+                        + (key + k) * 3.7) * 43758.5453
+            return h - jnp.floor(h)  # per-cell uniform [0,1)
 
-    rnd = cell_hash(0)
-    # jitter each square's position and size per cell: breaks the strict
-    # periodicity that makes every corner alias onto its neighbors
-    ou = 0.05 + 0.25 * cell_hash(1)
-    ov = 0.05 + 0.25 * cell_hash(2)
-    su = 0.30 + 0.40 * cell_hash(3)
-    sv = 0.30 + 0.40 * cell_hash(4)
-    fu = tu - cu
-    fv = tv - cv
-    inside = ((fu > ou) & (fu < ou + su) & (fv > ov) & (fv < ov + sv))
+        rnd = cell_hash(0)
+        # jitter each square's position and size per cell: breaks the strict
+        # periodicity that makes every corner alias onto its neighbors
+        ou = 0.05 + 0.25 * cell_hash(1)
+        ov = 0.05 + 0.25 * cell_hash(2)
+        su = 0.30 + 0.40 * cell_hash(3)
+        sv = 0.30 + 0.40 * cell_hash(4)
+        fu = tu - cu
+        fv = tv - cv
+        inside = ((fu > ou) & (fu < ou + su) & (fv > ov) & (fv < ov + sv))
+        return inside * (0.35 + 0.65 * rnd)
+
     coarse = jnp.sin(u * 2.1 + phase) + jnp.cos(v * 1.7 + phase)
     mid = jnp.sin(u * 7.3 + 2.0 * phase) * jnp.cos(v * 6.1 + phase)
-    g = 70.0 + 140.0 * inside * (0.35 + 0.65 * rnd) + 10.0 * coarse + 6.0 * mid
+    g = (70.0 + 120.0 * rect_layer(3.0, 0) + 45.0 * rect_layer(11.0, 5)
+         + 10.0 * coarse + 6.0 * mid)
     return jnp.clip(g, 0.0, 255.0)
 
 

@@ -165,6 +165,33 @@ def extract_lines(gray: jnp.ndarray, depth: jnp.ndarray, K4,
     theta = 0.5 * jnp.arctan2(2 * cov_xy, cov_xx - cov_yy)
     ldir = jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)  # (L, 2)
 
+    # ---- subpixel perpendicular refinement ---------------------------------
+    # Cell-centroid PCA carries a few px of perpendicular bias (the round-1
+    # reason lines were gated out of the pose solve). Re-centre each line on
+    # the gradient-magnitude ridge: sample |grad| across the line at several
+    # stations along it and take the intensity-weighted offset.
+    nrm0 = jnp.stack([-ldir[:, 1], ldir[:, 0]], -1)          # (L, 2)
+    stations = jnp.linspace(-0.35, 0.35, 9)                  # (T,)
+    span0 = jnp.maximum(
+        jnp.max(jnp.where(member, jnp.einsum("lni,li->ln", d0, ldir), 0.0), -1)
+        - jnp.min(jnp.where(member, jnp.einsum("lni,li->ln", d0, ldir), 0.0), -1),
+        1e-3)
+    offs = jnp.linspace(-3.0, 3.0, 13)                       # (O,)
+    pos_ref = (cen[:, None, None, :]
+               + stations[None, :, None, None] * span0[:, None, None, None]
+               * ldir[:, None, None, :]
+               + offs[None, None, :, None] * nrm0[:, None, None, :])
+    magmap = jnp.sqrt(mag2)
+    mv = image_ops.bilinear_sample(magmap, pos_ref.reshape(-1, 2)).reshape(
+        pos_ref.shape[:3])                                   # (L, T, O)
+    wref = mv * mv                                            # sharpen peak
+    wsum = jnp.maximum(jnp.sum(wref, -1), 1e-6)
+    o_per_station = jnp.sum(wref * offs[None, None, :], -1) / wsum
+    station_ok = wsum > 1e-3
+    o_corr = (jnp.sum(jnp.where(station_ok, o_per_station, 0.0), -1)
+              / jnp.maximum(jnp.sum(station_ok, -1), 1))
+    cen = cen + jnp.clip(o_corr, -3.0, 3.0)[:, None] * nrm0
+
     # endpoints from extreme projections of member centroids (+half cell)
     proj = jnp.einsum("lni,li->ln", d0, ldir)
     proj = jnp.where(member, proj, 0.0)

@@ -54,7 +54,7 @@ class System:
             res = self.tracker.process_localization_only(gray, depth, timestamp)
         else:
             res = self.tracker.process_frame(gray, depth, timestamp)
-        if res.is_keyframe and self.enable_loop_closing:
+        if self.tracker.consume_kf_event() and self.enable_loop_closing:
             self._run_loop_closing()
         if self._viewer is not None:
             self._viewer.update(res)
@@ -100,6 +100,7 @@ class System:
         return self.tracker.state
 
     def map_summary(self) -> dict:
+        self.tracker.flush()
         st = self.tracker.map_state
         return {
             "n_keyframes": int(st.n_kfs),
@@ -117,6 +118,7 @@ class System:
         """Loop-corrected export (System.cc:379-440): every frame's pose is
         recomposed from its reference keyframe's CURRENT pose, so loop
         closure / global BA corrections reach the saved trajectory."""
+        self.tracker.flush()
         corrected = self.tracker.corrected_trajectory()
         ts = [t for t, _ in corrected]
         poses = [p for _, p in corrected]
@@ -126,6 +128,7 @@ class System:
         """Keyframe poses read from the CURRENT map state (System.cc:442+),
         alive slots in insertion order."""
         import numpy as _np
+        self.tracker.flush()
         st = self.tracker.map_state
         valid = _np.asarray(st.kf_valid)
         seq = _np.asarray(st.kf_seq)
@@ -148,10 +151,12 @@ class System:
 
     def load_map(self, path: str):
         from dr_slam_tpu.io.map_io import load_map
+        self.tracker._pending = None  # drop any deferred frame of the old map
         self.tracker.map_state = load_map(path, self.cfg)
         self.tracker.state = TrackState.LOST  # relocalize into the map
 
     def shutdown(self, save_dir: Optional[str] = None):
+        self.tracker.flush()
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
             self.save_trajectory_tum(os.path.join(save_dir, "CameraTrajectory.txt"))

@@ -66,3 +66,28 @@ def test_line_descriptor_stable_under_shift():
     # each valid line in frame1 has a close match in frame2
     best = d.min(axis=1)[v1]
     assert (best < 80).mean() > 0.6, best
+
+
+def test_line_equation_subpixel_bias():
+    """Gradient-ridge refinement: the 2D line equation must sit on the true
+    edge within 0.5 px for subpixel edge positions (round-1 gated lines out
+    of the pose solve over a ~3 px bias here)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dr_slam_tpu.ops import lines as line_ops
+
+    K4 = (267.7, 269.6, 160.0, 120.0)
+    for u0 in (160.0, 160.37, 160.8):
+        x = np.arange(320)
+        cov = np.clip((x + 0.5) - u0, 0, 1)[None, :]
+        gray = jnp.asarray(
+            np.repeat(60.0 + 140.0 * cov, 240, 0).astype(np.float32))
+        depth = jnp.asarray(np.full((240, 320), 2.0, np.float32))
+        lf = line_ops.extract_lines(gray, depth, K4, max_lines=8)
+        v = np.asarray(lf.valid)
+        assert v.any(), u0
+        i = np.argmax(np.asarray(lf.response) * v)
+        a, b, c = np.asarray(lf.lineq[i])
+        pts = np.stack([np.full(5, u0), np.linspace(40, 200, 5)], -1)
+        d = np.abs(pts @ np.asarray([a, b]) + c)
+        assert d.mean() < 0.5, (u0, d.mean())
