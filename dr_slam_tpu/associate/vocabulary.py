@@ -32,13 +32,81 @@ def _codebook_signs(n_words: int, seed: int = 3) -> np.ndarray:
     return (bits.astype(np.float32) * 2.0 - 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_words",))
+# Registered TRAINED codebooks by word count (set_vocabulary /
+# load_vocabulary). A trained codebook replaces the random one for the same
+# W -- the reference ships a k-means ORB vocabulary (ORBvoc.txt); random
+# codebooks exercise the machinery but quantize real imagery worse.
+_trained_signs: dict = {}
+
+
+def set_vocabulary(packed_words: np.ndarray) -> None:
+    """Register a trained codebook: (W, 8) uint32 packed 256-bit words."""
+    bits = np.unpackbits(
+        packed_words.astype("<u4").view(np.uint8), bitorder="little"
+    ).reshape(packed_words.shape[0], 256)
+    _trained_signs[packed_words.shape[0]] = (
+        bits.astype(np.float32) * 2.0 - 1.0)
+
+
+def load_vocabulary(path: str) -> None:
+    """Load + register a codebook saved by train_vocabulary/save."""
+    set_vocabulary(np.load(path)["words"])
+
+
+def get_codebook_signs(n_words: int) -> np.ndarray:
+    return _trained_signs.get(n_words, _codebook_signs(n_words))
+
+
+def train_vocabulary(desc: np.ndarray, n_words: int = 4096,
+                     n_iters: int = 8, seed: int = 5) -> np.ndarray:
+    """Binary k-means over packed ORB descriptors -> (W, 8) uint32 words.
+
+    Role of DBoW2's offline vocabulary training (the reference loads the
+    pre-trained ORBvoc.txt, System.cc:51): centers are per-bit majority
+    votes, assignment is Hamming argmin (as a +-1 matmul). Empty clusters
+    reseed on the descriptor farthest from its center."""
+    desc = np.asarray(desc)
+    bits = np.unpackbits(desc.astype("<u4").view(np.uint8),
+                         bitorder="little").reshape(desc.shape[0], 256)
+    signs = bits.astype(np.float32) * 2.0 - 1.0
+    rng = np.random.RandomState(seed)
+    n = signs.shape[0]
+    centers = signs[rng.choice(n, size=min(n_words, n), replace=False)]
+    if centers.shape[0] < n_words:   # fewer descriptors than words: pad random
+        centers = np.concatenate(
+            [centers, _codebook_signs(n_words)[centers.shape[0]:]], 0)
+    for _ in range(n_iters):
+        dot = signs @ centers.T                       # (N, W)
+        assign = np.argmax(dot, -1)
+        dist = 0.5 * (256.0 - dot[np.arange(n), assign])
+        for w in range(n_words):
+            m = assign == w
+            if m.any():
+                centers[w] = np.where(signs[m].mean(0) >= 0.0, 1.0, -1.0)
+            else:
+                centers[w] = signs[np.argmax(dist)]
+                dist[np.argmax(dist)] = -1.0
+    words_bits = (centers > 0).astype(np.uint8)
+    packed = np.packbits(words_bits, axis=-1, bitorder="little")
+    return packed.view("<u4").astype(np.uint32)
+
+
 def compute_bow(desc: jnp.ndarray, valid: jnp.ndarray,
                 n_words: int = 4096) -> jnp.ndarray:
-    """(K, 8) uint32 packed descriptors -> (W,) L1-normalized tf vector."""
+    """(K, 8) uint32 packed descriptors -> (W,) L1-normalized tf vector.
+
+    Uses the registered trained codebook for `n_words` when one exists,
+    the deterministic random one otherwise."""
+    cb = jnp.asarray(get_codebook_signs(n_words), dtype=jnp.bfloat16)
+    return _compute_bow(desc, valid, cb)
+
+
+@jax.jit
+def _compute_bow(desc, valid, cb) -> jnp.ndarray:
     signs = bits_to_signs(unpack_bits(desc))                  # (K, 256)
-    cb = jnp.asarray(_codebook_signs(n_words), dtype=signs.dtype)
-    dot = jnp.dot(signs, cb.T, preferred_element_type=jnp.float32)
+    n_words = cb.shape[0]
+    dot = jnp.dot(signs, cb.T.astype(signs.dtype),
+                  preferred_element_type=jnp.float32)
     word = jnp.argmax(dot, -1)                                # min Hamming
     hist = jnp.zeros(n_words, dtype=jnp.float32).at[word].add(
         valid.astype(jnp.float32))

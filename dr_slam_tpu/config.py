@@ -132,6 +132,10 @@ class TrackingConfig:
     run_triangulation: bool = True          # CreateNewMapPoints (:309)
     run_kf_culling: bool = True             # KeyFrameCulling (:1226)
     fuse_dist: float = 0.05                 # 3D merge radius (m)
+    # per-keyframe BA scope: local covisibility window (the reference's
+    # LocalBundleAdjustment, Optimizer.cc:2067) instead of the whole map
+    use_local_ba: bool = True
+    local_ba_window: int = 8
     # One-frame-lag state machine: per-frame scalar decisions (LOST /
     # keyframe) are resolved at the start of the NEXT frame, so the hot
     # loop never blocks on a fresh device buffer (a fresh-buffer D2H costs

@@ -60,6 +60,49 @@ def problem_from_state(state, max_obs: int | None = None) -> BAProblem:
         pt_free=state.pt_valid)
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def local_problem_from_state(state, center_kf, window: int = 8) -> BAProblem:
+    """Local-window BA problem (the reference's LocalBundleAdjustment,
+    Optimizer.cc:2067, gated off in its active path, LocalMapping.cc:67-69):
+    the `window` keyframes most covisible with `center_kf` are free (oldest
+    anchors the gauge), only THEIR observation rows enter the problem, and
+    only points they observe are free. Fixed shapes: (window, K)
+    observations regardless of map size, so per-keyframe refinement cost
+    stays O(window), not O(map)."""
+    NK, K = state.kf_mp.shape
+    NP = state.pt_pos.shape[0]
+    # covisibility with the center keyframe (shared-point counts)
+    row = state.kf_mp[center_kf]
+    ind = jnp.zeros(NP + 1, jnp.int32).at[
+        jnp.where(row >= 0, row, NP)].set(1)
+    cnt = jnp.sum(ind[jnp.clip(state.kf_mp, 0)] * (state.kf_mp >= 0), -1)
+    cnt = cnt * state.kf_valid
+    cnt = cnt.at[center_kf].set(jnp.int32(10 ** 6))   # center always in
+    _, win = jax.lax.top_k(cnt, window)               # (W,) slot ids
+    win_ok = cnt[win] > 0
+    # gauge: fix the OLDEST window member (smallest seq)
+    seq = jnp.where(win_ok, state.kf_seq[win], jnp.int32(2 ** 30))
+    anchor = jnp.argmin(seq)
+    kf_free = win_ok & (jnp.arange(window) != anchor)
+
+    obs_kf = jnp.repeat(jnp.arange(window, dtype=jnp.int32), K)
+    obs_pt = state.kf_mp[win].reshape(-1)
+    valid = ((obs_pt >= 0) & state.kf_kp_valid[win].reshape(-1)
+             & jnp.repeat(win_ok, K))
+    obs_pt = jnp.clip(obs_pt, 0)
+    valid &= state.pt_valid[obs_pt]
+    pt_free = (jnp.zeros(NP, bool).at[jnp.where(valid, obs_pt, 0)].max(valid)
+               & state.pt_valid)
+    return BAProblem(
+        kf_pose=state.kf_pose[win], pt_pos=state.pt_pos,
+        obs_kf=obs_kf, obs_pt=obs_pt,
+        obs_uv=state.kf_uv[win].reshape(-1, 2),
+        obs_z=state.kf_xyz[win][..., 2].reshape(-1),
+        obs_inv_sigma2=1.0 / jnp.maximum(state.kf_sigma2[win].reshape(-1),
+                                         1e-6),
+        obs_valid=valid, kf_free=kf_free, pt_free=pt_free), win
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_gn_iters", "n_cg_iters", "huber"))
 def bundle_adjust(p: BAProblem, K4, n_gn_iters: int = 8, n_cg_iters: int = 40,

@@ -33,6 +33,7 @@ class System:
         if isinstance(config, str):
             config = load_config(config)
         self.cfg = config or SlamConfig()
+        self._load_default_vocabulary()
         self.metrics = MetricsLogger(metrics_path)
         self.tracker = Tracker(self.cfg, metrics=self.metrics)
         self.only_tracking = False
@@ -42,6 +43,22 @@ class System:
         if use_viewer or self.cfg.viewer.use_viewer:
             from dr_slam_tpu.viz.viewer import Viewer
             self._viewer = Viewer(self)
+
+    def _load_default_vocabulary(self):
+        """Register the shipped trained BoW codebook when its word count
+        matches the config (the reference loads ORBvoc.txt at startup,
+        System.cc:51; ours is trained by scripts/train_vocab.py)."""
+        import numpy as _np
+        from dr_slam_tpu.associate import vocabulary as voc
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "vocab.npz")
+        if os.path.exists(path):
+            try:
+                words = _np.load(path)["words"]
+                if words.shape[0] == self.cfg.map.vocab_words:
+                    voc.set_vocabulary(words)
+            except Exception:
+                pass
 
     # -- main API ----------------------------------------------------------
     def track_rgbd(self, gray, depth, timestamp: float):

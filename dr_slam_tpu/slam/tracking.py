@@ -328,7 +328,7 @@ class Tracker:
         # (capability of Local/GlobalBundleAdjustment; the reference
         # disables local BA, LocalMapping.cc:67-69 -- cheap on TPU)
         if cfg.tracking.run_ba_on_keyframe:
-            self._map_ba()
+            self._map_ba(center_kf=int(kf_id))
             T_cur = self.map_state.kf_pose[int(kf_id)]
             self.T_cw = T_cur
             # NOTE: the velocity (frame-to-frame relative motion) is KEPT
@@ -414,13 +414,29 @@ class Tracker:
             self._maybe_insert_keyframe(feats, out, ts, frame_id, n_inliers)
 
     # ------------------------------------------------------------------
-    def _map_ba(self):
-        """Refine all keyframe poses + map points (matrix-free LM-PCG)."""
+    def _map_ba(self, center_kf=None):
+        """Per-keyframe map refinement (matrix-free LM-PCG).
+
+        Local-window mode (default; the reference's LocalBundleAdjustment,
+        Optimizer.cc:2067): only the `local_ba_window` keyframes most
+        covisible with the new keyframe and their points move -- O(window)
+        per keyframe, so long runs don't pay O(map) at every insertion.
+        Full-map mode remains for small maps / loop-closure GBA."""
         from dr_slam_tpu.optimize.global_ba import (bundle_adjust,
+                                                    local_problem_from_state,
                                                     problem_from_state)
-        prob = problem_from_state(self.map_state)
-        kf_pose, pt_pos = bundle_adjust(prob, self.cfg.camera.K4,
-                                        n_gn_iters=4, n_cg_iters=24)
+        cfg = self.cfg
+        if cfg.tracking.use_local_ba and center_kf is not None:
+            prob, win = local_problem_from_state(
+                self.map_state, jnp.asarray(int(center_kf)),
+                window=cfg.tracking.local_ba_window)
+            kf_pose_w, pt_pos = bundle_adjust(prob, cfg.camera.K4,
+                                              n_gn_iters=4, n_cg_iters=24)
+            kf_pose = self.map_state.kf_pose.at[win].set(kf_pose_w)
+        else:
+            prob = problem_from_state(self.map_state)
+            kf_pose, pt_pos = bundle_adjust(prob, cfg.camera.K4,
+                                            n_gn_iters=4, n_cg_iters=24)
         self.map_state = self.map_state._replace(kf_pose=kf_pose,
                                                  pt_pos=pt_pos)
 
