@@ -84,8 +84,12 @@ def _texture(p, plane_idx):
 
     coarse = jnp.sin(u * 2.1 + phase) + jnp.cos(v * 1.7 + phase)
     mid = jnp.sin(u * 7.3 + 2.0 * phase) * jnp.cos(v * 6.1 + phase)
-    g = (70.0 + 120.0 * rect_layer(3.0, 0) + 45.0 * rect_layer(11.0, 5)
-         + 10.0 * coarse + 6.0 * mid)
+    # low-frequency distinctive patches (the role of posters/furniture in
+    # real scenes): without them every view of the procedural texture looks
+    # alike and BoW place recognition cannot rank the true revisit
+    g = (55.0 + 100.0 * rect_layer(3.0, 0) + 42.0 * rect_layer(11.0, 5)
+         + 36.0 * rect_layer(0.8, 11)
+         + 9.0 * coarse + 5.0 * mid)
     return jnp.clip(g, 0.0, 255.0)
 
 

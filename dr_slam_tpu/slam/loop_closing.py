@@ -17,6 +17,7 @@ reference keyframe). The host only sequences these device programs."""
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -85,7 +86,15 @@ def _refine_loop_rel(state: MapState, cur_kf, Xa, match_b, ok, T_rel, K4):
     opt = pose_optimize(T_rel, obs, jnp.asarray(K4, jnp.float32), bf=1.0,
                         n_rounds=2, n_iters=8)
     good = opt.n_inliers >= 15
-    return jnp.where(good, opt.T_cw, T_rel)
+    T_out = jnp.where(good, opt.T_cw, T_rel)
+    # acceptance count with a FIXED 8 px radius: accumulated drift deforms
+    # the map non-rigidly around the seam, so true loop pairs carry several
+    # px of irreducible reprojection error that a strict chi2 gate rejects
+    Xc = se3.transform_points(T_out, Xa)
+    uv_p = se3.project(jnp.asarray(K4, jnp.float32), Xc)
+    err = jnp.linalg.norm(uv_p - uv_b, axis=-1)
+    n_ok = jnp.sum(ok & (Xc[:, 2] > 0.1) & (err < 8.0))
+    return T_out, n_ok
 
 
 @dataclass
@@ -113,9 +122,21 @@ class LoopCloser:
         recent = np.abs(seq - seq[cur_kf]) < self.min_kf_gap
         min_score = float(scores[neighbor & (scores > 0)].min()) \
             if (neighbor & (scores > 0)).any() else 0.05
-        cand_mask = (scores >= max(min_score, 0.05)) & ~neighbor & ~recent \
-            & valid
+        # RELAXED vs the reference's hard minScore gate (LoopClosing.cc:135):
+        # geometric verification here is cheap (batched Horn RANSAC, a few
+        # ms per candidate) and sharply discriminative, so detection can
+        # afford a wider net -- a true revisit seen from a drifted pose
+        # often scores just below the covisible-neighbor floor.
+        cand_mask = (scores >= max(0.75 * min_score, 0.05)) & ~neighbor \
+            & ~recent & valid
         candidates = np.where(cand_mask)[0]
+        if os.environ.get("DRSLAM_LC_DEBUG"):
+            old = valid & ~neighbor & ~recent
+            print(f"[loop] kf={cur_kf} seq={seq[cur_kf]} min_score="
+                  f"{min_score:.3f} cands={list(candidates)} "
+                  f"best_nonneighbor="
+                  f"{[(int(k), round(float(scores[k]), 3)) for k in np.argsort(-scores * old)[:3]]}",
+                  flush=True)
         if len(candidates) == 0:
             self._consistency = {}
             return state, False
@@ -135,24 +156,43 @@ class LoopCloser:
             return state, False
 
         # ---- geometric verification (ComputeSim3 capability) ----------------
-        best = max(confirmed, key=lambda c: scores[c])
-        Xa, Xb, ok, match_b = _match_kf_pairs(state, jnp.asarray(best),
-                                              jnp.asarray(cur_kf))
-        if int(jnp.sum(ok)) < 20:
-            return state, False
-        # T maps candidate-frame coords -> current-frame coords
-        T_rel, s, n_inl = sim3_ransac(Xa, Xb, ok, inlier_dist=0.10)
-        if int(n_inl) < 20:
-            return state, False
-        # projection-error refinement between RANSAC and the pose graph
-        # (the role of OptimizeSim3, Optimizer.cc:3982; scale fixed for RGB-D)
-        T_rel = _refine_loop_rel(state, jnp.asarray(cur_kf), Xa, match_b,
-                                 ok, T_rel, self.cfg.camera.K4)
+        # the reference tries EVERY consistent candidate with its own
+        # Sim3Solver (LoopClosing.cc:277-349); with near-uniform BoW scores
+        # the single best-scoring candidate is often a false pair that
+        # RANSAC correctly rejects, so iterate by score.
+        for best in sorted(confirmed, key=lambda c: -scores[c])[:8]:
+            Xa, Xb, ok, match_b = _match_kf_pairs(state, jnp.asarray(best),
+                                                  jnp.asarray(cur_kf))
+            if int(jnp.sum(ok)) < 20:
+                continue
+            # T maps candidate-frame coords -> current-frame coords
+            T_rel, s, n_inl = sim3_ransac(Xa, Xb, ok, inlier_dist=0.10)
+            if int(n_inl) < 12:
+                if os.environ.get("DRSLAM_LC_DEBUG"):
+                    print(f"[loop]   verify {best}->{cur_kf}: pairs="
+                          f"{int(jnp.sum(ok))} sim3_inl={int(n_inl)} REJ",
+                          flush=True)
+                continue
+            # projection-error refinement between RANSAC and the pose graph
+            # (OptimizeSim3 role, Optimizer.cc:3982; scale fixed for RGB-D);
+            # its reprojection inlier count is the decisive acceptance gate
+            # (2D reprojection tolerates the drift-deformed 3D geometry that
+            # the 10 cm metric Sim3 gate cannot)
+            T_rel, n_reproj = _refine_loop_rel(
+                state, jnp.asarray(cur_kf), Xa, match_b, ok, T_rel,
+                self.cfg.camera.K4)
+            if os.environ.get("DRSLAM_LC_DEBUG"):
+                print(f"[loop]   verify {best}->{cur_kf}: pairs="
+                      f"{int(jnp.sum(ok))} sim3_inl={int(n_inl)} "
+                      f"reproj_inl={int(n_reproj)}", flush=True)
+            if int(n_reproj) < 12:
+                continue
 
-        # ---- correction ------------------------------------------------------
-        state = self._correct(state, cur_kf, best, T_rel)
-        self._consistency = {}
-        return state, True
+            # ---- correction --------------------------------------------------
+            state = self._correct(state, cur_kf, best, T_rel)
+            self._consistency = {}
+            return state, True
+        return state, False
 
     # ------------------------------------------------------------------
     def _correct(self, state: MapState, cur_kf: int, loop_kf: int,
@@ -169,13 +209,18 @@ class LoopCloser:
             edges_i.append(int(a))
             edges_j.append(int(b))
             weights.append(1.0)
+        # covisibility edges: one masked argpartition over the whole matrix
+        # instead of a per-keyframe argsort (round-1 review item)
         covis_full = np.asarray(_covis_full(state))
         seq_gap = np.abs(seq[:, None] - seq[None, :])
+        eligible = (valid[None, :] & valid[:, None] & (covis_full > 15)
+                    & (seq_gap > 1))
+        masked = np.where(eligible, covis_full, -1.0)
+        kk = min(4, masked.shape[1] - 1)
+        top = np.argpartition(-masked, kk, axis=1)[:, :kk]
         for k in order:
-            top = np.argsort(-covis_full[k])[:4]
-            for j in top:
-                if (j != k and valid[j] and covis_full[k, j] > 15
-                        and seq_gap[k, j] > 1):
+            for j in top[k]:
+                if masked[k, j] > 0:
                     edges_i.append(int(k))
                     edges_j.append(int(j))
                     weights.append(1.0)

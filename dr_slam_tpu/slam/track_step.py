@@ -50,6 +50,22 @@ class TrackStepOut(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_and_track(gray, depth, state: MapState, T_last, velocity,
+                      R_cm_prev, ref_kf, cfg: SlamConfig):
+    """Front-end extraction + the fused track step as ONE device program.
+
+    Per-frame alternation between two separate executables (extract_frame,
+    track_step) costs ~400 ms/frame on the tunneled TPU runtime (program
+    swap); fused, the steady-state frame is one dispatch + one ~30 ms
+    readback. Returns (feats, TrackStepOut)."""
+    from dr_slam_tpu.frontend.frame import _extract_frame
+    feats = _extract_frame(gray, depth, cfg.camera, cfg.orb, cfg.plane,
+                           cfg.line)
+    return feats, track_step(state, feats, T_last, velocity, R_cm_prev,
+                             ref_kf, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
                R_cm_prev, ref_kf, cfg: SlamConfig) -> TrackStepOut:
     cam = cfg.camera

@@ -105,25 +105,24 @@ class Tracker:
         cfg = self.cfg
         gray = jnp.asarray(gray, dtype=jnp.float32)
         depth = jnp.asarray(depth, dtype=jnp.float32)
-        feats = extract_frame(gray, depth, cfg)
 
         if self.state == TrackState.NOT_INITIALIZED:
-            res = self._initialize(feats, timestamp)
+            res = self._initialize(extract_frame(gray, depth, cfg), timestamp)
         elif cfg.tracking.deferred_readback:
             # one-frame-lag state machine: resolve the PREVIOUS frame's
-            # scalar bundle (its device work has completed by now, so the
-            # readback costs ~1 ms instead of the ~90 ms a fresh-buffer D2H
-            # costs on this runtime), then dispatch this frame without any
+            # scalar bundle (its device work has completed by now), then
+            # dispatch this frame's fused extract+track program without any
             # blocking host round-trip.
             self._resolve_pending()
             if self.state == TrackState.LOST:
-                res = self._relocalize(feats, timestamp)
+                res = self._relocalize(extract_frame(gray, depth, cfg),
+                                       timestamp)
             else:
-                res = self._track_deferred(feats, timestamp)
+                res = self._track_deferred(gray, depth, timestamp)
         elif self.state == TrackState.LOST:
-            res = self._relocalize(feats, timestamp)
+            res = self._relocalize(extract_frame(gray, depth, cfg), timestamp)
         else:
-            res = self._track(feats, timestamp)
+            res = self._track(extract_frame(gray, depth, cfg), timestamp)
 
         # trajectory bookkeeping is readback-free: device poses are stored
         # as-is and converted lazily at save time; the reference-keyframe
@@ -358,17 +357,19 @@ class Tracker:
         return ev
 
     # ------------------------------------------------------------------
-    def _track_deferred(self, feats: FrameFeatures, ts: float
-                        ) -> TrackingResult:
-        """Dispatch this frame's fused track step WITHOUT any host
-        readback; its LOST/keyframe decision is resolved at the START of
-        the next frame (one-frame lag), by which time the scalar bundle has
-        already been computed on device. This keeps the device pipeline
-        full: steady-state frame cost = dispatch (+ a completed-buffer
-        readback), not dispatch + execution round-trip (VERDICT round-1
+    def _track_deferred(self, gray, depth, ts: float) -> TrackingResult:
+        """Dispatch this frame's fused extract+track step (ONE device
+        program -- per-frame executable alternation costs ~400 ms on the
+        tunneled runtime) WITHOUT any host readback; its LOST/keyframe
+        decision is resolved at the START of the next frame (one-frame
+        lag), by which time the scalar bundle has already been computed on
+        device. Steady-state frame cost = dispatch + a ~30 ms readback,
+        not the ~600 ms of six blocking round-trips (VERDICT round-1
         item 6)."""
-        out = track_step(self.map_state, feats, self.T_cw, self.velocity,
-                         self.R_cm, jnp.asarray(self.ref_kf), self.cfg)
+        from dr_slam_tpu.slam.track_step import extract_and_track
+        feats, out = extract_and_track(
+            gray, depth, self.map_state, self.T_cw, self.velocity,
+            self.R_cm, jnp.asarray(self.ref_kf), self.cfg)
         T_prev = self.T_cw
         # speculative advance (device futures, no readback): assume OK
         self.velocity = out.T_cw @ se3.inv_T(T_prev)

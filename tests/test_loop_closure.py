@@ -1,0 +1,135 @@
+"""End-to-end loop closure through System.track_rgbd (VERDICT round-1
+item 2): a 240-frame circular trajectory with injected progressive gauge
+drift must (a) keep tracking, (b) fire LoopCloser's full
+detect -> Sim3-RANSAC -> SE3-refine -> pose-graph -> SearchAndFuse -> GBA
+pipeline on the true revisit pair, and (c) measurably drop the ATE of the
+SAVED (loop-corrected) trajectory.
+
+Drift injection: at frame 120 every keyframe is shifted by a twist scaled
+with its insertion sequence, points move with their newest observing
+keyframe, and the live pose rides the full twist -- locally consistent,
+globally drifted, exactly the shape of real odometry drift (this synthetic
+world's plane/Manhattan/depth anchors otherwise suppress natural drift below
+the implicit-reconnection radius)."""
+
+import dataclasses
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dr_slam_tpu.io import synthetic
+from dr_slam_tpu.io.metrics import ate_rmse
+from tests.test_tracking_e2e import small_cfg
+
+
+def _drift_T(frac, xi_t=(0.35, 0.0, 0.15), xi_r=0.07):
+    th = xi_r * frac
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                          [-np.sin(th), 0, np.cos(th)]], np.float32)
+    T[:3, 3] = np.asarray(xi_t, np.float32) * frac
+    return T
+
+
+def _inject_progressive_drift(tr):
+    tr.flush()
+    st = tr.map_state
+    kf_valid = np.asarray(st.kf_valid)
+    seqs = np.asarray(st.kf_seq)
+    max_seq = seqs.max()
+    kf_pose = np.asarray(st.kf_pose).copy()
+    pt = np.asarray(st.pt_pos).copy()
+    pt_valid = np.asarray(st.pt_valid)
+    kf_mp = np.asarray(st.kf_mp)
+    NPts = pt.shape[0]
+    pt_newest = np.full(NPts, -1, np.int64)
+    pt_newest_seq = np.full(NPts, -1, np.int64)
+    for k in np.where(kf_valid)[0]:
+        r_ = kf_mp[k][kf_mp[k] >= 0]
+        upd = seqs[k] > pt_newest_seq[r_]
+        pt_newest[r_[upd]] = k
+        pt_newest_seq[r_[upd]] = seqs[k]
+    shifts = {}
+    for k in np.where(kf_valid)[0]:
+        S = _drift_T(seqs[k] / max(max_seq, 1))
+        shifts[int(k)] = S
+        kf_pose[k] = kf_pose[k] @ np.linalg.inv(S)
+        if int(k) in tr.kf_pose_host:
+            tr.kf_pose_host[int(k)] = tr.kf_pose_host[int(k)] @ np.linalg.inv(S)
+    for p in np.where(pt_valid)[0]:
+        S = shifts.get(int(pt_newest[p]))
+        if S is not None:
+            pt[p] = S[:3, :3] @ pt[p] + S[:3, 3]
+    tr.map_state = st._replace(kf_pose=jnp.asarray(kf_pose),
+                               pt_pos=jnp.asarray(pt))
+    tr.T_cw = jnp.asarray(np.asarray(tr.T_cw) @ np.linalg.inv(_drift_T(1.0)))
+
+
+@pytest.fixture(scope="module")
+def loop_run(tmp_path_factory):
+    from dr_slam_tpu.associate import vocabulary as voc
+    from dr_slam_tpu.frontend.frame import extract_frame
+    from dr_slam_tpu.slam.system import System
+
+    cfg0 = small_cfg()
+    cfg = cfg0.replace(tracking=dataclasses.replace(
+        cfg0.tracking, run_kf_culling=False))
+    poses = synthetic.loop_trajectory(200)
+    poses = np.concatenate([poses, poses[:40]], 0)   # revisit the start
+    seq = synthetic.SyntheticSequence(poses, K4=cfg.camera.K4,
+                                      height=240, width=320)
+    # place recognition needs a discriminative codebook (the reference loads
+    # a pre-trained ORBvoc); train a small one on the sequence itself
+    descs = []
+    for i in range(0, 200, 13):
+        g_, d_ = seq.render(i)
+        f_ = extract_frame(jnp.asarray(g_, jnp.float32),
+                           jnp.asarray(d_, jnp.float32), cfg)
+        descs.append(np.asarray(f_.kp.desc)[np.asarray(f_.kp.valid)])
+    voc.set_vocabulary(voc.train_vocabulary(
+        np.concatenate(descs, 0), n_words=cfg.map.vocab_words, n_iters=6))
+
+    mpath = str(tmp_path_factory.mktemp("lc") / "metrics.jsonl")
+    sysm = System(cfg, enable_loop_closing=True, metrics_path=mpath)
+    states = []
+    try:
+        for i in range(len(poses)):
+            gray, depth = seq.render(i)
+            r = sysm.track_rgbd(gray, np.asarray(depth), i / 30.0)
+            states.append(r.state.name)
+            if i == 120:
+                _inject_progressive_drift(sysm.tracker)
+        sysm.tracker.flush()
+        sysm.metrics.close()
+    finally:
+        voc._trained_signs.clear()
+    return poses, sysm, states, mpath
+
+
+def test_loop_tracking_survives_drift(loop_run):
+    _, _, states, _ = loop_run
+    assert states.count("LOST") <= 3, states
+
+
+def test_loop_closure_fires(loop_run):
+    _, _, _, mpath = loop_run
+    evs = [json.loads(l) for l in open(mpath)]
+    n_loops = sum(1 for e in evs if "loop_closed" in str(e))
+    assert n_loops >= 1, "LoopCloser never fired through System.track_rgbd"
+
+
+def test_loop_correction_drops_ate(loop_run):
+    poses, sysm, _, _ = loop_run
+    gt = np.asarray([np.linalg.inv(p)[:3, 3] for p in poses])
+    est_raw = np.asarray([np.linalg.inv(np.asarray(T))[:3, 3]
+                          for _, T in sysm.tracker.trajectory])
+    corr = sysm.tracker.corrected_trajectory()
+    est_cor = np.asarray([np.linalg.inv(T)[:3, 3] for _, T in corr])
+    ate_raw = ate_rmse(est_raw, gt)
+    ate_cor = ate_rmse(est_cor, gt)
+    # the injected drift is ~0.35 m; the loop correction must claw back a
+    # measurable part of it in the SAVED trajectory
+    assert ate_cor < ate_raw - 0.02, (ate_raw, ate_cor)
+    assert ate_cor < 0.20, ate_cor
