@@ -42,3 +42,21 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
 if _os.environ.get("DR_SLAM_TPU_DISABLE_CACHE", "0") != "1":
     enable_compilation_cache()
+
+
+def _set_matmul_precision() -> None:
+    """Geometry solves need f32 matmuls. The TPU MXU defaults f32 inputs to
+    bf16 multiplication (8-bit mantissa), which corrupts Gauss-Newton
+    Hessian assembly, plane moment aggregation and covariance PCA -- on-chip
+    ATE was ~10x worse than the CPU tests (which force f32 in conftest)
+    until this was pinned. Hot Hamming matmuls cast to bf16 EXPLICITLY
+    (ops/orb.bits_to_signs) and keep their MXU speed."""
+    import jax
+
+    try:
+        jax.config.update("jax_default_matmul_precision", "float32")
+    except Exception:
+        pass
+
+
+_set_matmul_precision()

@@ -34,6 +34,21 @@ class Viewer:
         st = self.system.tracker.map_state
         fig = plt.figure(figsize=(10, 8))
         ax = fig.add_subplot(111, projection="3d")
+        # Manhattan-normal sub-view (the reference Viewer's dedicated
+        # sub-viewport, src/Viewer.cc:99-166): the three world-frame
+        # Manhattan axes as an inset axis triad
+        if bool(st.manhattan_ok):
+            axin = fig.add_axes([0.02, 0.72, 0.22, 0.25], projection="3d")
+            R = np.asarray(st.R_wm)
+            colors = ("tab:red", "tab:green", "tab:blue")
+            for i, c in enumerate(colors):
+                a = R[:, i]
+                axin.quiver(0, 0, 0, a[0], a[2], -a[1], color=c, lw=2)
+            axin.set_xlim(-1, 1)
+            axin.set_ylim(-1, 1)
+            axin.set_zlim(-1, 1)
+            axin.set_title("Manhattan", fontsize=8)
+            axin.set_axis_off()
         pv = np.asarray(st.pt_valid)
         pts = np.asarray(st.pt_pos)[pv]
         if len(pts):
@@ -61,15 +76,25 @@ class Viewer:
         plt.close(fig)
 
 
-def draw_frame_overlay(gray, feats, path: str) -> None:
-    """2D overlay: keypoints, line segments, plane regions
-    (FrameDrawer::DrawFrame capability, src/FrameDrawer.cc:35)."""
+def draw_frame_overlay(gray, feats, path: str, detections=None,
+                       plane_block: int = 8) -> None:
+    """2D overlay: keypoints, line segments, plane segmentation mask, and
+    YOLOX detection boxes (FrameDrawer::DrawFrame + DrawObjects capability,
+    src/FrameDrawer.cc:35,219)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(10, 7.5))
-    ax.imshow(np.asarray(gray), cmap="gray", vmin=0, vmax=255)
+    g = np.asarray(gray)
+    ax.imshow(g, cmap="gray", vmin=0, vmax=255)
+    # plane segmentation mask (block labels upsampled, translucent)
+    bl = np.asarray(feats.planes.block_label)
+    if bl.size:
+        mask = np.kron(bl, np.ones((plane_block, plane_block), bl.dtype))
+        mask = mask[:g.shape[0], :g.shape[1]].astype(float)
+        mask[mask < 0] = np.nan
+        ax.imshow(mask, cmap="tab10", alpha=0.25, interpolation="nearest")
     kv = np.asarray(feats.kp.valid)
     uv = np.asarray(feats.kp.uv)[kv]
     ax.scatter(uv[:, 0], uv[:, 1], s=6, c="lime", marker="o",
@@ -77,8 +102,21 @@ def draw_frame_overlay(gray, feats, path: str) -> None:
     lv = np.asarray(feats.lines.valid)
     for x1, y1, x2, y2 in np.asarray(feats.lines.seg2d)[lv]:
         ax.plot([x1, x2], [y1, y2], c="red", lw=1.5)
+    n_det = 0
+    if detections is not None:
+        dv = np.asarray(detections.valid)
+        boxes = np.asarray(detections.boxes)[dv]
+        classes = np.asarray(detections.classes)[dv]
+        scores = np.asarray(detections.scores)[dv]
+        n_det = int(dv.sum())
+        for (x1, y1, x2, y2), c, s in zip(boxes, classes, scores):
+            ax.add_patch(plt.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                       fill=False, color="yellow", lw=1.5))
+            ax.text(x1, y1 - 2, f"{int(c)}:{s:.2f}", color="yellow",
+                    fontsize=7)
     ax.set_title(f"kp={kv.sum()} lines={lv.sum()} "
-                 f"planes={int(np.asarray(feats.planes.valid).sum())}")
+                 f"planes={int(np.asarray(feats.planes.valid).sum())} "
+                 f"objects={n_det}")
     ax.axis("off")
     fig.savefig(path, dpi=110, bbox_inches="tight")
     plt.close(fig)

@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--out", default="/tmp/drslam_out")
     ap.add_argument("--depth-noise", action="store_true")
     ap.add_argument("--viewer", action="store_true")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace here (SURVEY.md sec 5)")
     args = ap.parse_args()
 
     from dr_slam_tpu.config import tum_freiburg3
@@ -35,16 +37,20 @@ def main():
                                       depth_noise=args.depth_noise)
     sysm = System(cfg, use_viewer=args.viewer)
 
+    import contextlib
+    import jax
+    prof = (jax.profiler.trace(args.profile_dir) if args.profile_dir
+            else contextlib.nullcontext())
     t_start = time.perf_counter()
     states = []
-    for i in range(len(seq)):
-        gray, depth = seq.render(i)
-        res = sysm.track_rgbd(gray, depth, i / seq.fps)
-        states.append(res.state.name)
-        if True:
-            print(f"frame {i:4d} state={res.state.name} inliers={res.n_inliers}"
-                  f" matches={res.n_matches} manhattan={res.manhattan_ok}",
-                  file=sys.stderr)
+    with prof:
+        for i in range(len(seq)):
+            gray, depth = seq.render(i)
+            res = sysm.track_rgbd(gray, depth, i / seq.fps)
+            states.append(res.state.name)
+            print(f"frame {i:4d} state={res.state.name} "
+                  f"inliers={res.n_inliers} matches={res.n_matches} "
+                  f"manhattan={res.manhattan_ok}", file=sys.stderr)
     wall = time.perf_counter() - t_start
 
     est = np.asarray([np.linalg.inv(T)[:3, 3]

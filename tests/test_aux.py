@@ -157,3 +157,32 @@ def test_yolox_decode_golden():
     dA = np.abs(boxes - expA).max(-1).min()
     assert dA < 1e-3, (boxes, expA)
     assert set(classes.tolist()) == {7, 3}, classes
+
+
+def test_frame_overlay_with_detections(tmp_path):
+    """FrameDrawer capability: overlay renders keypoints, lines, the plane
+    segmentation mask and YOLOX boxes (src/FrameDrawer.cc:35,219)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dr_slam_tpu.frontend.frame import extract_frame
+    from dr_slam_tpu.io import synthetic
+    from dr_slam_tpu.models.yolox import Detections
+    from dr_slam_tpu.viz.viewer import draw_frame_overlay
+    from tests.test_tracking_e2e import small_cfg
+
+    cfg = small_cfg()
+    seq = synthetic.SyntheticSequence(
+        synthetic.corridor_trajectory(1), K4=cfg.camera.K4,
+        height=240, width=320)
+    gray, depth = seq.render(0)
+    feats = extract_frame(jnp.asarray(gray, jnp.float32),
+                          jnp.asarray(depth, jnp.float32), cfg)
+    dets = Detections(
+        boxes=jnp.asarray([[40.0, 40.0, 120.0, 100.0]]),
+        scores=jnp.asarray([0.9]), classes=jnp.asarray([7]),
+        valid=jnp.asarray([True]))
+    out = str(tmp_path / "overlay.png")
+    draw_frame_overlay(gray, feats, out, detections=dets,
+                       plane_block=cfg.plane.block)
+    import os
+    assert os.path.getsize(out) > 10000
