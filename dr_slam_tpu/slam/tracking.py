@@ -88,6 +88,7 @@ class Tracker:
     _last_inliers: int = 0
     _last_matches: int = 0
     _last_man_ok: bool = False
+    _reloc_failures: int = 0
     kf_inserted_event: bool = False   # set by _maybe_insert_keyframe; the
                                       # System consumes it to trigger loop
                                       # closing (res.is_keyframe lags in
@@ -501,6 +502,7 @@ class Tracker:
                 self.T_cw = opt.T_cw
                 self.velocity = jnp.eye(4)
                 self.state = TrackState.OK
+                self._reloc_failures = 0
                 self.ref_kf = int(kf_id)
                 if self.ref_kf not in self.kf_pose_host:
                     # relocalizing into a loaded map: cache the ref pose +
@@ -517,5 +519,19 @@ class Tracker:
                 return TrackingResult(np.asarray(opt.T_cw), self.state,
                                       int(opt.n_inliers), int(ref.n_matches),
                                       False, False, ts)
+        # reference behavior (Tracking.cc:698-703): losing track on a YOUNG
+        # map (<= 5 keyframes soon after initialization) resets the system
+        # instead of relocalizing forever against a map not worth keeping
+        self._reloc_failures += 1
+        if (not self.only_tracking and self._reloc_failures >= 3
+                and int(self.map_state.n_kfs) <= 5
+                and int(self.map_state.kf_next_seq) <= 5):
+            if self.metrics is not None:
+                self.metrics.log("map_reset", frame=self.frame_id)
+            self.map_state = make_empty_state(self.cfg)
+            self.state = TrackState.NOT_INITIALIZED
+            self._reloc_failures = 0
+            self.kf_pose_host.clear()
+            self.kf_seq_host.clear()
         return TrackingResult(np.asarray(self.T_cw), TrackState.LOST,
                               0, 0, False, False, ts)

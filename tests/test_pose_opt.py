@@ -158,3 +158,35 @@ def test_pose_opt_with_lines():
     dt, dr = pose_err(out.T_cw, T_true)
     # lines leave a sliding DoF family; still should reduce error a lot
     assert dt < 0.02 and dr < 2e-3, (dt, dr)
+
+
+def test_pnp_coplanar_points():
+    """The mono PnP solver must handle COPLANAR landmarks (single-wall
+    views) -- the 3D DLT alone is rank-deficient there; the homography
+    branch covers it (round-2 fix after relocalization collapsed on
+    close-wall views)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dr_slam_tpu.optimize.pnp import pnp_ransac
+
+    rng = np.random.RandomState(4)
+    K4 = (300.0, 300.0, 160.0, 120.0)
+    # points on the plane z = 3 (world), camera rotated + translated
+    pts = np.stack([rng.uniform(-1.5, 1.5, 48),
+                    rng.uniform(-1.0, 1.0, 48),
+                    np.full(48, 3.0)], -1).astype(np.float32)
+    th = 0.15
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    t = np.array([0.2, -0.1, 0.3], np.float32)
+    Xc = pts @ R.T + t
+    uv = np.stack([K4[0] * Xc[:, 0] / Xc[:, 2] + K4[2],
+                   K4[1] * Xc[:, 1] / Xc[:, 2] + K4[3]], -1)
+    # 25% outliers
+    uv[::4] += rng.uniform(30, 80, (12, 2))
+    T, n_in = pnp_ransac(jnp.asarray(pts), jnp.asarray(uv),
+                         jnp.ones(48, bool), K4)
+    assert int(n_in) >= 30, int(n_in)
+    T = np.asarray(T)
+    assert np.linalg.norm(T[:3, 3] - t) < 0.05, T
+    assert np.abs(T[:3, :3] - R).max() < 0.02, T
