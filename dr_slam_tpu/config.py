@@ -115,7 +115,8 @@ class MapConfig:
 class TrackingConfig:
     min_frames: int = 10        # mMinFrames (Tracking.cc:93)
     max_frames: int = 30        # mMaxFrames = fps (Tracking.cc:94)
-    motion_search_radius: float = 15.0
+    motion_search_radius: float = 28.0
+    local_search_radius: float = 8.0    # stage-2 rematch window
     reloc_search_radius: float = 10.0
     # Use matched map lines as pose-optimization edges (the reference's
     # EdgeLineProjectXYZOnlyPose, include/EdgeLine.h:155). Round 1 gated
@@ -124,6 +125,13 @@ class TrackingConfig:
     # (ops/lines.py) brings that under 0.05 px, so they are on by default.
     use_lines_in_pose: bool = True
     use_planes_in_pose: bool = True
+    # Stage-1 solve with the rotation FIXED to the Manhattan prediction and
+    # only translation optimized (the reference's TranslationWithMotionModel
+    # / Optimizer::TranslationOptimization, Tracking.cc:2544 +
+    # Optimizer.cc:3211). Off by default: the reference's ACTIVE path also
+    # calls the full-SE3 solve (its TranslationEstimation calls are
+    # commented out, Tracking.cc:356-373).
+    translation_only_with_manhattan: bool = False
     use_ref_kf_anchor: bool = False   # brute-force matches alias on repetitive texture
     run_ba_on_keyframe: bool = True
     run_cull_on_keyframe: bool = True

@@ -47,7 +47,11 @@ def box_filter(img: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 
 def bilinear_resize(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Bilinear resize of a (H, W) image (used for pyramid levels)."""
+    """Bilinear resize of a (H, W) image (used for pyramid levels).
+
+    jax.image.resize antialiases on downscale (triangle filter widened by
+    the scale factor) -- a plain bilinear gather aliases the fine texture
+    and measurably degrades coarse-level FAST corner stability."""
     return jax.image.resize(img, (out_h, out_w), method="bilinear")
 
 

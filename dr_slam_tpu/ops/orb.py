@@ -85,13 +85,32 @@ _KX_MOMENT, _KY_MOMENT = _moment_kernels()
 def orientation_maps(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Dense (m10, m01) intensity-moment maps via two 31x31 convs.
 
-    IC_Angle (ORBextractor.cc:77) evaluated at every pixel on the MXU."""
+    IC_Angle (ORBextractor.cc:77) evaluated at every pixel on the MXU.
+    NOTE: kept for tests/reference, but the extractor now evaluates moments
+    only at the selected keypoints (orientation_at_points) -- the 31x31
+    dense convs made the front-end executable so heavy that RE-ACTIVATING
+    it after any other program cost ~3 s on the tunneled TPU runtime."""
     x = img[None, None].astype(jnp.float32)
     kx = jnp.asarray(_KX_MOMENT)[None, None]
     ky = jnp.asarray(_KY_MOMENT)[None, None]
     m10 = jax.lax.conv_general_dilated(x, kx, (1, 1), "SAME")[0, 0]
     m01 = jax.lax.conv_general_dilated(x, ky, (1, 1), "SAME")[0, 0]
     return m10, m01
+
+
+def orientation_at_points(img: jnp.ndarray, vi: jnp.ndarray, ui: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """IC_Angle at integer keypoint locations only: gather the 31x31 patch
+    per keypoint and dot with the moment kernels -- identical math to the
+    dense conv at those pixels, ~1000x less work and a small executable."""
+    h, w = img.shape
+    offs = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
+    ys = jnp.clip(vi[:, None, None] + offs[None, :, None], 0, h - 1)
+    xs = jnp.clip(ui[:, None, None] + offs[None, None, :], 0, w - 1)
+    patch = img[ys, xs]                                   # (k, 31, 31)
+    m10 = jnp.einsum("kij,ij->k", patch, jnp.asarray(_KX_MOMENT))
+    m01 = jnp.einsum("kij,ij->k", patch, jnp.asarray(_KY_MOMENT))
+    return jnp.arctan2(m01, m10)
 
 
 def level_feature_counts(n_features: int, n_levels: int, scale: float
@@ -166,8 +185,7 @@ def _extract_level(img_l: jnp.ndarray, blur_l: jnp.ndarray, n_take: int,
     v = vi0.astype(jnp.float32) + jnp.clip(offy, -0.5, 0.5)
 
     # orientation at winners (integer location; moments vary smoothly)
-    m10, m01 = orientation_maps(img_l)
-    angle = jnp.arctan2(m01[vi0, ui0], m10[vi0, ui0])
+    angle = orientation_at_points(img_l, vi0, ui0)
 
     # steered BRIEF from the blurred level image
     a_bin = jnp.round(angle / (2 * jnp.pi / ANGLE_BINS))

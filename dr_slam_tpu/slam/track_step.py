@@ -122,8 +122,13 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
 
     obs = map_ops.build_pose_obs(state, feats, mp_idx, plane_m, lm_pose,
                                  n_struct=cfg.map.max_kf_planes)
+    # translation-only stage 1 when configured: rotation stays the
+    # Manhattan-predicted one (TranslationWithMotionModel capability,
+    # Tracking.cc:2544); stage 2 below always refines the full SE3
     opt = pose_optimize(
-        T_pred, obs, cam.K4, cam.bf, translation_only=False, struct_on=False,
+        T_pred, obs, cam.K4, cam.bf,
+        translation_only=tr.translation_only_with_manhattan,
+        struct_on=False,
         angle_info=cfg.plane.angle_info, dist_info=cfg.plane.distance_info,
         plane_chi2=cfg.plane.chi2, vp_chi2=cfg.plane.vp_chi2,
         prior_sigma_t=0.3, prior_sigma_r=0.03)
@@ -131,7 +136,7 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
     # --- stage 2: local-map rematch at the refined pose + struct edges -----
     pm2 = map_ops.match_points_projection(
         state, feats.kp.uv, feats.kp.desc, feats.kp.valid, opt.T_cw, cam.K4,
-        radius=6.0, max_hamming=map_ops.TH_LOW + 10.0,
+        radius=tr.local_search_radius, max_hamming=map_ops.TH_LOW + 10.0,
         width=cam.width, height=cam.height, kp_angle=feats.kp.angle)
     mp_idx2 = jnp.where(pm2.mp_idx >= 0, pm2.mp_idx, mp_idx)
     # Deduplicate across the two passes: stage-1 and stage-2 are each

@@ -74,10 +74,15 @@ def loop_run(tmp_path_factory):
     from dr_slam_tpu.slam.system import System
 
     cfg0 = small_cfg()
+    # narrower match windows than the robust default: the injected seam must
+    # NOT partially reconnect through wide windows (a mixed-gauge pair set
+    # starves Sim3 consensus); 15/6 is the configuration this scenario
+    # validates loop closure under
     cfg = cfg0.replace(tracking=dataclasses.replace(
-        cfg0.tracking, run_kf_culling=False))
+        cfg0.tracking, run_kf_culling=False,
+        motion_search_radius=15.0, local_search_radius=6.0))
     poses = synthetic.loop_trajectory(200)
-    poses = np.concatenate([poses, poses[:40]], 0)   # revisit the start
+    poses = np.concatenate([poses, poses[:70]], 0)   # revisit the start
     seq = synthetic.SyntheticSequence(poses, K4=cfg.camera.K4,
                                       height=240, width=320)
     # place recognition needs a discriminative codebook (the reference loads

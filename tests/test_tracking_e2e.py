@@ -95,3 +95,30 @@ def test_trajectory_save_and_relocalization(tracked, tmp_path):
     from dr_slam_tpu.io.map_io import load_map
     st2 = load_map(mp, cfg)
     assert int(st2.n_kfs) == int(sysm.tracker.map_state.n_kfs)
+
+
+def test_translation_only_mode_tracks():
+    """TranslationWithMotionModel capability (Tracking.cc:2544 /
+    Optimizer::TranslationOptimization): stage-1 translation-only solve with
+    the Manhattan-predicted rotation, config-gated, must track a short
+    corridor segment."""
+    import dataclasses
+
+    from dr_slam_tpu.slam.system import System
+
+    cfg0 = small_cfg()
+    cfg = cfg0.replace(tracking=dataclasses.replace(
+        cfg0.tracking, translation_only_with_manhattan=True))
+    seq = synthetic.SyntheticSequence(
+        synthetic.corridor_trajectory(12, step=0.03), K4=cfg.camera.K4,
+        height=240, width=320)
+    sysm = System(cfg, enable_loop_closing=False)
+    states = []
+    for i in range(12):
+        gray, depth = seq.render(i)
+        states.append(sysm.track_rgbd(gray, depth, i / 30.0).state.name)
+    assert states.count("LOST") == 0, states
+    est = np.asarray([np.linalg.inv(np.asarray(T))[:3, 3]
+                      for _, T in sysm.tracker.trajectory])
+    gt = np.asarray([np.linalg.inv(p)[:3, 3] for p in seq.poses_cw])
+    assert ate_rmse(est, gt) < 0.05
