@@ -36,6 +36,10 @@ class TrackStepOut(NamedTuple):
     n_inliers: jnp.ndarray     # () int32 final inliers
     man_ok: jnp.ndarray        # () bool
     jump: jnp.ndarray          # () float32 |t - t_pred|
+    velocity: jnp.ndarray      # (4, 4) T_cur @ inv(T_last) -- computed on
+                               # device so the host runs NO eager math per
+                               # frame (each mini-program activation costs
+                               # ~50-100 ms on the tunneled runtime)
     bundle: jnp.ndarray        # (20,) f32: T_cw.ravel() ++ [n_inliers,
                                # n_matches, man_ok, jump] -- ONE host
                                # readback per frame instead of six (each
@@ -181,6 +185,7 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
     R_cm_new = jnp.where(state.manhattan_ok,
                          T_cur[:3, :3] @ state.R_wm, R_cm_prev)
     jump = jnp.linalg.norm(T_cur[:3, 3] - T_pred[:3, 3])
+    velocity_new = T_cur @ se3.inv_T(T_last)
     bundle = jnp.concatenate([
         T_cur.reshape(-1),
         jnp.stack([opt2.n_inliers.astype(jnp.float32),
@@ -188,7 +193,8 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
                    man_ok.astype(jnp.float32), jump])])
     return TrackStepOut(
         T_cw=T_cur, R_cm=R_cm_new, n_matches=pm.n_matches,
-        n_inliers=opt2.n_inliers, man_ok=man_ok, jump=jump, bundle=bundle,
+        n_inliers=opt2.n_inliers, man_ok=man_ok, jump=jump,
+        velocity=velocity_new, bundle=bundle,
         mp_idx=mp_idx2, plane_match=plane_m2.match_idx,
         plane_par=plane_m2.par_idx, plane_ver=plane_m2.ver_idx,
         line_match=line_m.ml_idx, new_map_state=new_state)

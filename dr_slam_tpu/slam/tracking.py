@@ -89,6 +89,7 @@ class Tracker:
     _last_matches: int = 0
     _last_man_ok: bool = False
     _reloc_failures: int = 0
+    _ref_kf_cache: object = None
     kf_inserted_event: bool = False   # set by _maybe_insert_keyframe; the
                                       # System consumes it to trigger loop
                                       # closing (res.is_keyframe lags in
@@ -249,7 +250,7 @@ class Tracker:
         plus a host-side state machine driven by one scalar readback."""
         cfg = self.cfg
         out = track_step(self.map_state, feats, self.T_cw, self.velocity,
-                         self.R_cm, jnp.asarray(self.ref_kf), cfg)
+                         self.R_cm, self._ref_kf_dev(), cfg)
         if not self.only_tracking:
             # localization-only mode keeps the map frozen: not even the
             # visibility statistics move (they feed culling, which won't run)
@@ -350,6 +351,14 @@ class Tracker:
         return True
 
     # ------------------------------------------------------------------
+    def _ref_kf_dev(self):
+        """Device mirror of ref_kf (avoids a per-frame tiny H2D transfer +
+        mini-program activation; ref_kf changes only at keyframes/reloc)."""
+        if self._ref_kf_cache is None or self._ref_kf_cache[0] != self.ref_kf:
+            self._ref_kf_cache = (self.ref_kf, jnp.asarray(self.ref_kf))
+        return self._ref_kf_cache[1]
+
+    # ------------------------------------------------------------------
     def consume_kf_event(self) -> bool:
         """True once per keyframe insertion (works in deferred mode, where
         TrackingResult.is_keyframe lags the actual insertion)."""
@@ -370,10 +379,11 @@ class Tracker:
         from dr_slam_tpu.slam.track_step import extract_and_track
         feats, out = extract_and_track(
             gray, depth, self.map_state, self.T_cw, self.velocity,
-            self.R_cm, jnp.asarray(self.ref_kf), self.cfg)
+            self.R_cm, self._ref_kf_dev(), self.cfg)
         T_prev = self.T_cw
-        # speculative advance (device futures, no readback): assume OK
-        self.velocity = out.T_cw @ se3.inv_T(T_prev)
+        # speculative advance (device futures, no readback, no eager math:
+        # the velocity came out of the fused program)
+        self.velocity = out.velocity
         self.T_cw = out.T_cw
         self.R_cm = out.R_cm
         self._pending = (ts, feats, out, T_prev, self.frame_id,
