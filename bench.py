@@ -50,10 +50,11 @@ def bench_tracking(n_frames: int = 60) -> float | None:
                                       K4=cfg.camera.K4)
     sys_ = System(cfg)
     frames = [seq[i] for i in range(n_frames)]
-    # warmup must cover every jit: normal tracking AND a keyframe insertion
-    # (first KF happens at min_frames) -- otherwise compiles land in the
-    # timed region
-    warm = min(cfg.tracking.min_frames + 3, n_frames - 10)
+    # warmup must cover every jit: normal tracking AND two keyframe
+    # insertions (culling/fuse/triangulation/BA compile on the first, the
+    # deferred-resolve KF path on the second) -- otherwise compiles land in
+    # the timed region
+    warm = min(2 * cfg.tracking.min_frames + 3, n_frames - 10)
     for fr in frames[:warm]:
         sys_.track_rgbd(fr.gray, fr.depth, fr.timestamp)
     t0 = time.perf_counter()

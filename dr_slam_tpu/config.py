@@ -150,6 +150,12 @@ class TrackingConfig:
     # ~90 ms over the TPU tunnel; a completed one ~1 ms). Decisions lag by
     # exactly one frame; pose estimates are identical to synchronous mode.
     deferred_readback: bool = True
+    # consecutive-detection consistency for loop closing (reference
+    # mnCovisibilityConsistencyTh = 3, LoopClosing.cc; our geometric
+    # verification -- Sim3 >= 12 inliers AND >= 12 reprojection inliers --
+    # is far more discriminative than DBoW2-era gating, so fewer
+    # confirmations are needed before attempting it)
+    loop_consistency: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -157,10 +157,14 @@ class LoopCloser:
 
         # ---- geometric verification (ComputeSim3 capability) ----------------
         # the reference tries EVERY consistent candidate with its own
-        # Sim3Solver (LoopClosing.cc:277-349); with near-uniform BoW scores
-        # the single best-scoring candidate is often a false pair that
-        # RANSAC correctly rejects, so iterate by score.
-        for best in sorted(confirmed, key=lambda c: -scores[c])[:8]:
+        # Sim3Solver (LoopClosing.cc:277-349). Verification order: the best
+        # by BoW score PLUS the oldest by insertion sequence -- true loop
+        # partners are OLD keyframes, while self-similarity false positives
+        # cluster near the recent end and can crowd a score-only shortlist.
+        by_score = sorted(confirmed, key=lambda c: -scores[c])[:5]
+        by_age = sorted(confirmed, key=lambda c: seq[c])[:3]
+        shortlist = list(dict.fromkeys(by_age + by_score))
+        for best in shortlist:
             Xa, Xb, ok, match_b = _match_kf_pairs(state, jnp.asarray(best),
                                                   jnp.asarray(cur_kf))
             if int(jnp.sum(ok)) < 20:

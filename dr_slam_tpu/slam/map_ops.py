@@ -532,6 +532,38 @@ def cull_map(state: MapState, merge_angle_cos: float = 0.985,
     lbad = state.ln_valid & (state.ln_visible > 8) & (lratio < 0.2)
     ln_valid = state.ln_valid & ~lbad
 
+    # map-line fusion (LSDmatcher::Fuse role, LSDmatcher.cpp:750,884):
+    # segments with mutually-close endpoints (either order), aligned
+    # directions and similar descriptors are duplicates -- the loser (fewer
+    # observations; ties to the higher slot) dies, the winner inherits its
+    # statistics
+    e1 = state.ln_ep[:, :3]
+    e2 = state.ln_ep[:, 3:]
+    d11 = jnp.linalg.norm(e1[:, None] - e1[None], axis=-1)
+    d22 = jnp.linalg.norm(e2[:, None] - e2[None], axis=-1)
+    d12 = jnp.linalg.norm(e1[:, None] - e2[None], axis=-1)
+    d21 = jnp.linalg.norm(e2[:, None] - e1[None], axis=-1)
+    d_pair = jnp.minimum(jnp.maximum(d11, d22), jnp.maximum(d12, d21))
+    dir_ok = jnp.abs(jnp.einsum("ic,jc->ij", state.ln_dir, state.ln_dir)) > 0.966
+    lham = hamming_matrix(state.ln_desc, state.ln_desc)
+    NLn = e1.shape[0]
+    li = jnp.arange(NLn)
+    same_pair = (ln_valid[:, None] & ln_valid[None, :]
+                 & (d_pair < 0.10) & dir_ok & (lham <= 80.0)
+                 & (li[:, None] != li[None, :]))
+    i_wins = ((state.ln_obs_count[:, None] > state.ln_obs_count[None, :])
+              | ((state.ln_obs_count[:, None] == state.ln_obs_count[None, :])
+                 & (li[:, None] < li[None, :])))
+    lose_to = same_pair & i_wins           # [i, j]: j loses to i
+    loser = jnp.any(lose_to, 0)
+    winner_of = jnp.argmax(lose_to, 0)     # first winning i per j
+    gain_tgt = jnp.where(loser, winner_of, NLn)
+    ln_obs2 = state.ln_obs_count.at[gain_tgt].add(
+        jnp.where(loser, state.ln_obs_count, 0), mode="drop")
+    ln_found2 = state.ln_found.at[gain_tgt].add(
+        jnp.where(loser, state.ln_found, 0), mode="drop")
+    ln_valid = ln_valid & ~loser
+
     # plane merge: j merges into i if i<j, normals aligned, i's plane passes
     # through j's cloud
     n = state.pl_coef[:, :3]
@@ -550,7 +582,9 @@ def cull_map(state: MapState, merge_angle_cos: float = 0.985,
 
     return state._replace(pt_valid=pt_valid, pl_valid=pl_valid,
                           ln_valid=ln_valid, kf_mp=kf_mp,
-                          pt_obs_count=pt_obs_count, n_pts=jnp.sum(pt_valid))
+                          ln_obs_count=ln_obs2, ln_found=ln_found2,
+                          pt_obs_count=pt_obs_count, n_pts=jnp.sum(pt_valid),
+                          n_lns=jnp.sum(ln_valid))
 
 
 # ===========================================================================

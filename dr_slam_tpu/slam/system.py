@@ -29,11 +29,18 @@ class System:
 
     def __init__(self, config: SlamConfig | str | None = None,
                  use_viewer: bool = False, metrics_path: str | None = None,
-                 enable_loop_closing: bool = True):
+                 enable_loop_closing: bool = True, detector=None):
+        """detector: optional object detector with .detect(rgb) -> Detections
+        (e.g. models.yolox.YOLOX) -- the reference runs YOLOX per frame for
+        the 2D overlay only (Frame::ExtractObject -> FrameDrawer::DrawObjects,
+        src/Frame.cc:1330, src/FrameDrawer.cc:219); here it runs per KEYFRAME
+        off the hot path, and the latest detections feed the viewer overlay."""
         if isinstance(config, str):
             config = load_config(config)
         self.cfg = config or SlamConfig()
         self._load_default_vocabulary()
+        self.detector = detector
+        self.last_detections = None
         self.metrics = MetricsLogger(metrics_path)
         self.tracker = Tracker(self.cfg, metrics=self.metrics)
         self.only_tracking = False
@@ -71,8 +78,14 @@ class System:
             res = self.tracker.process_localization_only(gray, depth, timestamp)
         else:
             res = self.tracker.process_frame(gray, depth, timestamp)
-        if self.tracker.consume_kf_event() and self.enable_loop_closing:
-            self._run_loop_closing()
+        if self.tracker.consume_kf_event():
+            if self.detector is not None:
+                import jax.numpy as jnp
+                g = jnp.asarray(gray, jnp.float32)
+                rgb = jnp.stack([g, g, g], -1)
+                self.last_detections = self.detector.detect(rgb)
+            if self.enable_loop_closing:
+                self._run_loop_closing()
         if self._viewer is not None:
             self._viewer.update(res)
         return res
@@ -83,7 +96,9 @@ class System:
         except ImportError:
             return
         if self._loop_closer is None:
-            self._loop_closer = LoopCloser(self.cfg)
+            self._loop_closer = LoopCloser(
+                self.cfg,
+                consistency_needed=self.cfg.tracking.loop_consistency)
         new_state, corrected = self._loop_closer.process(
             self.tracker.map_state, self.tracker.ref_kf)
         if corrected:

@@ -241,6 +241,7 @@ class Tracker:
         self.kf_pose_host[int(kf_id)] = np.eye(4)
         self.kf_seq_host[int(kf_id)] = self._seq_counter
         self._seq_counter += 1
+        self.kf_inserted_event = True
         return TrackingResult(np.eye(4), self.state, n_depth, n_depth,
                               bool(mok), True, ts)
 

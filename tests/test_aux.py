@@ -186,3 +186,36 @@ def test_frame_overlay_with_detections(tmp_path):
                        plane_block=cfg.plane.block)
     import os
     assert os.path.getsize(out) > 10000
+
+
+def test_system_detector_hook():
+    """YOLOX wiring: an injected detector runs at keyframe events and its
+    detections are exposed for the overlay (Frame::ExtractObject ->
+    FrameDrawer::DrawObjects role)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dr_slam_tpu.io import synthetic
+    from dr_slam_tpu.models.yolox import Detections
+    from dr_slam_tpu.slam.system import System
+    from tests.test_tracking_e2e import small_cfg
+
+    calls = []
+
+    class FakeDetector:
+        def detect(self, rgb):
+            calls.append(rgb.shape)
+            return Detections(boxes=jnp.zeros((1, 4)),
+                              scores=jnp.ones(1), classes=jnp.zeros(1, jnp.int32),
+                              valid=jnp.ones(1, bool))
+
+    cfg = small_cfg()
+    seq = synthetic.SyntheticSequence(
+        synthetic.corridor_trajectory(3), K4=cfg.camera.K4,
+        height=240, width=320)
+    sysm = System(cfg, enable_loop_closing=False, detector=FakeDetector())
+    for i in range(3):
+        gray, depth = seq.render(i)
+        sysm.track_rgbd(gray, depth, i / 30.0)
+    assert len(calls) >= 1                  # ran at the init keyframe
+    assert calls[0] == (240, 320, 3)
+    assert sysm.last_detections is not None

@@ -208,3 +208,32 @@ def test_triangulate_rejects_low_parallax():
     )
     out = map_ops.triangulate_with_kf(st, jnp.asarray(1), jnp.asarray(0), K4)
     assert int(np.asarray(out.pt_valid).sum()) == 0
+
+
+# --------------------------------------------------------------------------
+# map-line fusion (LSDmatcher::Fuse role inside the culling pass)
+# --------------------------------------------------------------------------
+
+def test_cull_fuses_duplicate_lines():
+    cfg = tiny_cfg()
+    st = make_empty_state(cfg)
+    d = _desc(2)
+    ep = jnp.asarray([0.0, 0.0, 2.0, 1.0, 0.0, 2.0])
+    ep_dup = ep + 0.03          # 3 cm off, same direction
+    ep_far = jnp.asarray([0.0, 1.0, 2.0, 1.0, 1.0, 2.0])  # parallel, 1 m away
+    dirv = jnp.asarray([1.0, 0.0, 0.0])
+    st = st._replace(
+        ln_valid=st.ln_valid.at[0].set(True).at[1].set(True).at[2].set(True),
+        ln_ep=st.ln_ep.at[0].set(ep).at[1].set(ep_dup).at[2].set(ep_far),
+        ln_dir=st.ln_dir.at[0].set(dirv).at[1].set(dirv).at[2].set(dirv),
+        ln_desc=st.ln_desc.at[0].set(d).at[1].set(d).at[2].set(d),
+        ln_obs_count=st.ln_obs_count.at[0].set(5).at[1].set(2).at[2].set(3),
+        ln_found=st.ln_found.at[0].set(5).at[1].set(2).at[2].set(3),
+        ln_visible=st.ln_visible.at[jnp.asarray([0, 1, 2])].set(3),
+    )
+    out = map_ops.cull_map(st)
+    assert bool(out.ln_valid[0])            # better-observed winner lives
+    assert not bool(out.ln_valid[1])        # duplicate fused away
+    assert bool(out.ln_valid[2])            # distinct parallel line lives
+    assert int(out.ln_obs_count[0]) == 7    # inherited the loser's count
+    assert int(out.n_lns) == 2

@@ -80,7 +80,8 @@ def loop_run(tmp_path_factory):
     # validates loop closure under
     cfg = cfg0.replace(tracking=dataclasses.replace(
         cfg0.tracking, run_kf_culling=False,
-        motion_search_radius=15.0, local_search_radius=6.0))
+        motion_search_radius=15.0, local_search_radius=6.0,
+        loop_consistency=1))
     poses = synthetic.loop_trajectory(200)
     poses = np.concatenate([poses, poses[:70]], 0)   # revisit the start
     seq = synthetic.SyntheticSequence(poses, K4=cfg.camera.K4,
