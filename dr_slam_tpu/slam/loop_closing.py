@@ -46,46 +46,73 @@ def _covis_counts(state: MapState, kf_id) -> jnp.ndarray:
 
 @jax.jit
 def _match_kf_pairs(state: MapState, kf_a, kf_b):
-    """Descriptor matches between two keyframes' features that both have map
-    points -> camera-frame 3D pairs for Horn alignment (+ the matched
-    feature index in kf_b for projection refinement)."""
+    """Descriptor matches between two keyframes' depth-backed features ->
+    camera-frame 3D pairs for Horn alignment (+ the matched feature index in
+    kf_b for projection refinement).
+
+    The 3D pairs come from the keyframes' STORED per-feature backprojections
+    (kf_xyz, measured RGB-D depth at capture time), NOT from the current map
+    positions the reference uses (LoopClosing.cc:318 ComputeSim3 on MapPoint
+    world coords). Map positions are drift-deformed -- each landmark carries
+    the gauge of whichever keyframes refined it last -- so a true revisit
+    pair yields a NON-RIGID 3D-3D set that starves Horn-RANSAC consensus
+    (round-2 regression: 1-7 inliers on true pairs). Measured depth is rigid
+    per keyframe by construction, and needs no landmark association, which
+    also multiplies the usable pair count."""
     da = state.kf_desc[kf_a]
     db = state.kf_desc[kf_b]
-    va = state.kf_kp_valid[kf_a] & (state.kf_mp[kf_a] >= 0)
-    vb = state.kf_kp_valid[kf_b] & (state.kf_mp[kf_b] >= 0)
+
+    def _depth_ok(kf):
+        z = state.kf_xyz[kf][:, 2]
+        return (state.kf_ur[kf] >= 0) & (z > 0.1) & (z < 8.0)
+
+    va = state.kf_kp_valid[kf_a] & _depth_ok(kf_a)
+    vb = state.kf_kp_valid[kf_b] & _depth_ok(kf_b)
     D = jnp.where(va[:, None] & vb[None, :],
                   hamming_matrix(da, db), jnp.inf)
     match, _ = mutual_best_matches(D, max_dist=60.0, ratio=0.8)
     ok = match >= 0
-    mp_a = jnp.clip(state.kf_mp[kf_a], 0)
-    mp_b = jnp.clip(state.kf_mp[kf_b][jnp.clip(match, 0)], 0)
-    Xa = se3.transform_points(state.kf_pose[kf_a], state.pt_pos[mp_a])
-    Xb = se3.transform_points(state.kf_pose[kf_b], state.pt_pos[mp_b])
+    Xa = state.kf_xyz[kf_a]
+    Xb = state.kf_xyz[kf_b][jnp.clip(match, 0)]
     return Xa, Xb, ok, match
 
 
 @jax.jit
-def _refine_loop_rel(state: MapState, cur_kf, Xa, match_b, ok, T_rel, K4):
+def _refine_loop_rel(state: MapState, cur_kf, Xa, match_b, ok, T_rel, K4,
+                     bf):
     """Refine the loop relative transform by minimizing the reprojection of
-    the loop keyframe's landmarks (camera-frame points Xa) against their
-    matched pixel observations in the current keyframe -- the projection-
-    error refinement the reference runs as OptimizeSim3 (Optimizer.cc:3982)
-    between Sim3-RANSAC and the essential graph. Falls back to the RANSAC
-    estimate when the refinement loses inliers (aliased match sets)."""
+    the loop keyframe's measured points (camera-frame Xa) against their
+    matched STEREO observations (u, v, uR) in the current keyframe -- the
+    projection-error refinement the reference runs as OptimizeSim3
+    (Optimizer.cc:3982) between Sim3-RANSAC and the essential graph.
+
+    The observations must be stereo (depth-bearing): mono reprojection of
+    these pairs is nearly degenerate -- loop pairs in a Manhattan scene are
+    dominated by ONE wall plane, and coplanar mono observations admit a
+    pose family sliding along the plane (round-3 root cause: the mono
+    refine walked a 5 cm-accurate Horn estimate 2 m away while keeping
+    52/67 points within 8 px). A trust region guards the remaining gauge:
+    if the refined pose moved > 0.3 m / ~11 deg from the Horn estimate,
+    keep the Horn estimate (it has hundreds of 3D-3D inliers behind it)."""
     from dr_slam_tpu.optimize.pose_opt import PoseObservations, pose_optimize
 
     K = Xa.shape[0]
-    uv_b = state.kf_uv[cur_kf][jnp.clip(match_b, 0)]
-    sigma2 = state.kf_sigma2[cur_kf][jnp.clip(match_b, 0)]
+    mb = jnp.clip(match_b, 0)
+    uv_b = state.kf_uv[cur_kf][mb]
+    ur_b = state.kf_ur[cur_kf][mb]
+    sigma2 = state.kf_sigma2[cur_kf][mb]
     obs = PoseObservations.empty(K, 1, 1, 1)
     obs = obs._replace(
         pt_world=Xa,
-        pt_obs=jnp.concatenate([uv_b, -jnp.ones((K, 1))], -1),  # mono
+        pt_obs=jnp.concatenate([uv_b, ur_b[:, None]], -1),
         pt_inv_sigma2=1.0 / jnp.maximum(sigma2, 1e-6),
         pt_valid=ok)
-    opt = pose_optimize(T_rel, obs, jnp.asarray(K4, jnp.float32), bf=1.0,
+    opt = pose_optimize(T_rel, obs, jnp.asarray(K4, jnp.float32), bf=bf,
                         n_rounds=2, n_iters=8)
-    good = opt.n_inliers >= 15
+    d = opt.T_cw @ se3.inv_T(T_rel)
+    moved_t = jnp.linalg.norm(d[:3, 3])
+    moved_r = jnp.arccos(jnp.clip((jnp.trace(d[:3, :3]) - 1) / 2, -1, 1))
+    good = (opt.n_inliers >= 15) & (moved_t < 0.3) & (moved_r < 0.2)
     T_out = jnp.where(good, opt.T_cw, T_rel)
     # acceptance count with a FIXED 8 px radius: accumulated drift deforms
     # the map non-rigidly around the seam, so true loop pairs carry several
@@ -104,8 +131,28 @@ class LoopCloser:
     consistency_needed: int = 2   # consecutive detections (reference: 3)
     run_gba: bool = True
     _consistency: dict = field(default_factory=dict)
+    _last_fire_seq: int = -1000   # cooldown (mLastLoopKFid, LoopClosing.cc:114)
 
-    def process(self, state: MapState, cur_kf: int) -> tuple[MapState, bool]:
+    def process(self, state: MapState, cur_kf: int,
+                odom: dict | None = None) -> tuple[MapState, bool]:
+        """One detection step for the freshly inserted keyframe cur_kf.
+
+        Two detection paths, each feeding the same verification+correction:
+        - classic (reference DetectLoop, LoopClosing.cc:108): BoW candidates
+          among NON-covisible keyframes -- catches revisits the tracker did
+          NOT reconnect to (large drift).
+        - seam-drift: the current keyframe became strongly covisible with a
+          temporally DISTANT keyframe -- the tracker reconnected to an old
+          map region through its match windows (implicit loop). The
+          reference cannot fire here (covisible candidates are excluded,
+          KeyFrameDatabase.cc:84) and silently leaves the accumulated chain
+          drift in the graph; we geometrically verify the seam pair and fire
+          the essential-graph correction when the measured relative pose
+          disagrees with the current estimates.
+
+        `odom`: {seq -> (prev_seq, T_rel)} odometry measurements captured at
+        keyframe insertion (Tracker.kf_odom_host) -- used as temporal-edge
+        measurements so the pose graph can SEE accumulated drift."""
         n_kfs = int(state.n_kfs)
         if n_kfs < self.min_kf_gap + 2:
             return state, False
@@ -114,6 +161,8 @@ class LoopCloser:
         # keyframe rows are SLOTS; temporal adjacency lives in kf_seq
         valid = np.asarray(state.kf_valid)
         seq = np.asarray(state.kf_seq)
+        if int(seq[cur_kf]) - self._last_fire_seq < self.min_kf_gap:
+            return state, False  # cooldown after a correction
         scores = np.asarray(bow_scores(state.kf_bow[cur_kf], state.kf_bow,
                                        state.kf_valid))
         covis = np.asarray(_covis_counts(state, jnp.asarray(cur_kf)))
@@ -139,21 +188,20 @@ class LoopCloser:
                   flush=True)
         if len(candidates) == 0:
             self._consistency = {}
-            return state, False
-
-        # consistency across consecutive keyframes (LoopClosing.cc:199-257);
-        # keyed by insertion sequence so slot reuse cannot alias a streak
-        new_consistency = {}
-        confirmed = []
-        for c in candidates:
-            streak = 1 + max((v for k, v in self._consistency.items()
-                              if abs(k - seq[c]) <= 3), default=0)
-            new_consistency[int(seq[c])] = streak
-            if streak >= self.consistency_needed:
-                confirmed.append(int(c))
-        self._consistency = new_consistency
-        if not confirmed:
-            return state, False
+            confirmed = []
+        else:
+            # consistency across consecutive keyframes (LoopClosing.cc:
+            # 199-257); keyed by insertion sequence so slot reuse cannot
+            # alias a streak
+            new_consistency = {}
+            confirmed = []
+            for c in candidates:
+                streak = 1 + max((v for k, v in self._consistency.items()
+                                  if abs(k - seq[c]) <= 3), default=0)
+                new_consistency[int(seq[c])] = streak
+                if streak >= self.consistency_needed:
+                    confirmed.append(int(c))
+            self._consistency = new_consistency
 
         # ---- geometric verification (ComputeSim3 capability) ----------------
         # the reference tries EVERY consistent candidate with its own
@@ -163,62 +211,107 @@ class LoopCloser:
         # cluster near the recent end and can crowd a score-only shortlist.
         by_score = sorted(confirmed, key=lambda c: -scores[c])[:5]
         by_age = sorted(confirmed, key=lambda c: seq[c])[:3]
-        shortlist = list(dict.fromkeys(by_age + by_score))
-        for best in shortlist:
+        trials = [(b, False) for b in dict.fromkeys(by_age + by_score)]
+
+        # seam-drift partner: strongest covisible keyframe with a LARGE
+        # insertion-sequence gap (the tracker reconnected across the loop)
+        seam_mask = (valid & (covis > 30)
+                     & (np.abs(seq - seq[cur_kf]) > self.min_kf_gap))
+        if seam_mask.any():
+            partner = int(np.argmax(np.where(seam_mask, covis, -1)))
+            if partner not in [b for b, _ in trials]:
+                trials.append((partner, True))
+
+        for best, is_seam in trials:
             Xa, Xb, ok, match_b = _match_kf_pairs(state, jnp.asarray(best),
                                                   jnp.asarray(cur_kf))
-            if int(jnp.sum(ok)) < 20:
+            n_pairs = int(jnp.sum(ok))
+            if n_pairs < 20:
                 continue
             # T maps candidate-frame coords -> current-frame coords
             T_rel, s, n_inl = sim3_ransac(Xa, Xb, ok, inlier_dist=0.10)
-            if int(n_inl) < 12:
+            # a seam correction rewrites the whole graph off this one pair:
+            # demand a dominant rigid consensus, not just 12 votes
+            need = max(30, int(0.4 * n_pairs)) if is_seam else 12
+            if int(n_inl) < need:
                 if os.environ.get("DRSLAM_LC_DEBUG"):
-                    print(f"[loop]   verify {best}->{cur_kf}: pairs="
-                          f"{int(jnp.sum(ok))} sim3_inl={int(n_inl)} REJ",
-                          flush=True)
+                    print(f"[loop]   verify {best}->{cur_kf}"
+                          f"{' (seam)' if is_seam else ''}: pairs={n_pairs} "
+                          f"sim3_inl={int(n_inl)} REJ", flush=True)
                 continue
             # projection-error refinement between RANSAC and the pose graph
             # (OptimizeSim3 role, Optimizer.cc:3982; scale fixed for RGB-D);
             # its reprojection inlier count is the decisive acceptance gate
-            # (2D reprojection tolerates the drift-deformed 3D geometry that
-            # the 10 cm metric Sim3 gate cannot)
             T_rel, n_reproj = _refine_loop_rel(
                 state, jnp.asarray(cur_kf), Xa, match_b, ok, T_rel,
-                self.cfg.camera.K4)
-            if os.environ.get("DRSLAM_LC_DEBUG"):
-                print(f"[loop]   verify {best}->{cur_kf}: pairs="
-                      f"{int(jnp.sum(ok))} sim3_inl={int(n_inl)} "
-                      f"reproj_inl={int(n_reproj)}", flush=True)
+                self.cfg.camera.K4, self.cfg.camera.bf)
             if int(n_reproj) < 12:
+                if os.environ.get("DRSLAM_LC_DEBUG"):
+                    print(f"[loop]   verify {best}->{cur_kf}: pairs="
+                          f"{n_pairs} sim3_inl={int(n_inl)} "
+                          f"reproj_inl={int(n_reproj)} REJ", flush=True)
                 continue
+            # measured vs estimated relative pose: fire only when the graph
+            # actually disagrees with the measurement (a consistent revisit
+            # needs no correction -- and for covisible seam partners the
+            # estimates are usually close, so this is the decisive gate)
+            T_est = np.asarray(state.kf_pose[cur_kf]) @ np.linalg.inv(
+                np.asarray(state.kf_pose[best]))
+            delta = np.asarray(T_rel) @ np.linalg.inv(T_est)
+            d_t = float(np.linalg.norm(delta[:3, 3]))
+            d_r = float(np.arccos(np.clip(
+                (np.trace(delta[:3, :3]) - 1) / 2, -1, 1)))
+            if os.environ.get("DRSLAM_LC_DEBUG"):
+                print(f"[loop]   verify {best}->{cur_kf}"
+                      f"{' (seam)' if is_seam else ''}: pairs={n_pairs} "
+                      f"sim3_inl={int(n_inl)} reproj_inl={int(n_reproj)} "
+                      f"d_t={d_t:.3f} d_r={d_r:.4f}", flush=True)
+            if d_t < 0.02 and d_r < 0.005:
+                continue  # graph already consistent with the measurement
 
             # ---- correction --------------------------------------------------
-            state = self._correct(state, cur_kf, best, T_rel)
+            state = self._correct(state, cur_kf, best, T_rel, odom)
             self._consistency = {}
+            self._last_fire_seq = int(seq[cur_kf])
             return state, True
         return state, False
 
     # ------------------------------------------------------------------
     def _correct(self, state: MapState, cur_kf: int, loop_kf: int,
-                 T_rel: jnp.ndarray) -> MapState:
+                 T_rel: jnp.ndarray, odom: dict | None = None) -> MapState:
         NK = state.kf_pose.shape[0]
         valid = np.asarray(state.kf_valid)
         seq = np.asarray(state.kf_seq)
         alive = np.where(valid)[0]
         order = alive[np.argsort(seq[alive])]  # slots in temporal order
+        poses_np = np.asarray(state.kf_pose)
 
-        # edge table: temporal chain + top covisibility + the loop edge
-        edges_i, edges_j, weights = [], [], []
+        # edge table: temporal chain (odometry-measured where available) +
+        # near-temporal covisibility + the loop edge. Temporal measurements
+        # come from the odometry captured at insertion (Tracker.kf_odom_host)
+        # -- measuring them from CURRENT estimates would bake accumulated
+        # drift into the constraints and make the graph blind to it.
+        edges_i, edges_j, weights, meas = [], [], [], []
+        odom = odom or {}
         for a, b in zip(order[:-1], order[1:]):
             edges_i.append(int(a))
             edges_j.append(int(b))
             weights.append(1.0)
+            rec = odom.get(int(seq[b]))
+            if rec is not None and rec[0] == int(seq[a]):
+                # stored: T_b @ inv(T_a); edge measures T_a @ inv(T_b)
+                meas.append(np.linalg.inv(rec[1]).astype(np.float32))
+            else:
+                meas.append(poses_np[a] @ np.linalg.inv(poses_np[b]))
         # covisibility edges: one masked argpartition over the whole matrix
-        # instead of a per-keyframe argsort (round-1 review item)
+        # instead of a per-keyframe argsort (round-1 review item). Only
+        # NEAR-temporal pairs qualify: a covisibility edge spanning the loop
+        # (seam) measured from current estimates would freeze the very drift
+        # the correction is removing.
         covis_full = np.asarray(_covis_full(state))
         seq_gap = np.abs(seq[:, None] - seq[None, :])
         eligible = (valid[None, :] & valid[:, None] & (covis_full > 15)
-                    & (seq_gap > 1))
+                    & (seq_gap > 1) & (seq_gap <= self.min_kf_gap))
         masked = np.where(eligible, covis_full, -1.0)
         kk = min(4, masked.shape[1] - 1)
         top = np.argpartition(-masked, kk, axis=1)[:, :kk]
@@ -228,24 +321,22 @@ class LoopCloser:
                     edges_i.append(int(k))
                     edges_j.append(int(j))
                     weights.append(1.0)
+                    meas.append(poses_np[k] @ np.linalg.inv(poses_np[j]))
         edges_i.append(int(loop_kf))
         edges_j.append(int(cur_kf))
         weights.append(10.0)  # strong loop constraint
+        # the loop edge's measurement is the Horn/refined result:
+        # T_cur' = T_rel @ T_loop  =>  T_loop @ inv(T_cur) = inv(T_rel)
+        meas.append(np.linalg.inv(np.asarray(T_rel)).astype(np.float32))
 
         E = len(edges_i)
         ei = jnp.asarray(edges_i, dtype=jnp.int32)
         ej = jnp.asarray(edges_j, dtype=jnp.int32)
         poses = state.kf_pose
-        # measured relative transforms from current estimates...
-        T_ij = poses[ei] @ jax.vmap(se3.inv_T)(poses[ej])
-        # ...except the loop edge, whose measurement is the Horn result:
-        # T_cur' = T_rel @ T_loop  =>  T_loop @ inv(T_cur) measured as
-        # inv(T_rel) on the loop-closed cycle.
-        T_ij = T_ij.at[E - 1].set(se3.inv_T(T_rel))
+        T_ij = jnp.asarray(np.stack(meas).astype(np.float32))
 
         first_slot = int(order[0])  # oldest alive keyframe anchors the gauge
-        fixed = (jnp.zeros(NK, dtype=bool).at[first_slot].set(True)
-                 .at[loop_kf].set(True))
+        fixed = jnp.zeros(NK, dtype=bool).at[first_slot].set(True)
         g = PoseGraph(
             poses=poses, pose_valid=state.kf_valid,
             edge_i=ei, edge_j=ej, edge_T_ij=T_ij,

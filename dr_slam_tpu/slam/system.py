@@ -100,7 +100,8 @@ class System:
                 self.cfg,
                 consistency_needed=self.cfg.tracking.loop_consistency)
         new_state, corrected = self._loop_closer.process(
-            self.tracker.map_state, self.tracker.ref_kf)
+            self.tracker.map_state, self.tracker.ref_kf,
+            odom=self.tracker.kf_odom_host)
         if corrected:
             import jax.numpy as jnp
             tr = self.tracker

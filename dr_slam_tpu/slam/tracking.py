@@ -82,6 +82,12 @@ class Tracker:
     traj_rel: list = field(default_factory=list)  # (ts, ref, pose, seq, T)
     kf_pose_host: dict = field(default_factory=dict)  # kf_id -> np 4x4 at insert
     kf_seq_host: dict = field(default_factory=dict)   # slot -> insertion seq
+    # odometry measurements for the pose graph: new kf seq -> (prev kf seq,
+    # T_new @ inv(T_prev) captured AT INSERTION). Loop closing uses these as
+    # the temporal-edge measurements instead of re-deriving them from current
+    # pose estimates -- re-derived edges absorb accumulated drift into the
+    # "measurement" and make the essential graph blind to it.
+    kf_odom_host: dict = field(default_factory=dict)  # seq -> (prev_seq, 4x4)
     _seq_counter: int = 0
     # deferred-readback bookkeeping (one-frame-lag state machine)
     _pending: object = None
@@ -252,10 +258,6 @@ class Tracker:
         cfg = self.cfg
         out = track_step(self.map_state, feats, self.T_cw, self.velocity,
                          self.R_cm, self._ref_kf_dev(), cfg)
-        if not self.only_tracking:
-            # localization-only mode keeps the map frozen: not even the
-            # visibility statistics move (they feed culling, which won't run)
-            self.map_state = out.new_map_state
         # single host readback of the per-frame scalars
         n_inliers, n_matches, man_ok, jump = (
             int(out.n_inliers), int(out.n_matches), bool(out.man_ok),
@@ -263,7 +265,10 @@ class Tracker:
         T_cur = out.T_cw
 
         # failure detection (SURVEY.md section 5): reject implausible updates
-        # and relocalize rather than integrating a bad pose
+        # and relocalize rather than integrating a bad pose. The map update
+        # (visibility statistics) is applied only AFTER this check, matching
+        # the deferred path -- rejected frames must not mutate map statistics
+        # in one mode but not the other (ADVICE r2).
         bad_pose = (n_inliers < 10
                     or n_inliers < 0.3 * max(n_matches, 1)
                     or jump > 0.30)
@@ -271,6 +276,10 @@ class Tracker:
             self.state = TrackState.LOST
             return TrackingResult(np.asarray(self.T_cw), self.state,
                                   n_inliers, n_matches, man_ok, False, ts)
+        if not self.only_tracking:
+            # localization-only mode keeps the map frozen: not even the
+            # visibility statistics move (they feed culling, which won't run)
+            self.map_state = out.new_map_state
 
         self.velocity = T_cur @ se3.inv_T(self.T_cw)
         self.T_cw = T_cur
@@ -347,6 +356,13 @@ class Tracker:
         self.kf_log.append((ts, T_kf))
         self.kf_pose_host[int(kf_id)] = T_kf
         self.kf_seq_host[int(kf_id)] = self._seq_counter
+        # odometry edge vs the previous reference keyframe's CURRENT
+        # estimate (post-BA, so the pair is locally consistent)
+        prev_seq = self.kf_seq_host.get(prev_kf)
+        if prev_seq is not None and prev_kf != int(kf_id):
+            T_prev = np.asarray(self.map_state.kf_pose[prev_kf])
+            self.kf_odom_host[self._seq_counter] = (
+                prev_seq, T_kf @ np.linalg.inv(T_prev))
         self._seq_counter += 1
         self.kf_inserted_event = True
         return True
@@ -382,12 +398,13 @@ class Tracker:
             gray, depth, self.map_state, self.T_cw, self.velocity,
             self.R_cm, self._ref_kf_dev(), self.cfg)
         T_prev = self.T_cw
+        R_cm_prev = self.R_cm
         # speculative advance (device futures, no readback, no eager math:
         # the velocity came out of the fused program)
         self.velocity = out.velocity
         self.T_cw = out.T_cw
         self.R_cm = out.R_cm
-        self._pending = (ts, feats, out, T_prev, self.frame_id,
+        self._pending = (ts, feats, out, T_prev, R_cm_prev, self.frame_id,
                          self.only_tracking)
         return TrackingResult(out.T_cw, self.state, self._last_inliers,
                               self._last_matches, self._last_man_ok,
@@ -399,7 +416,7 @@ class Tracker:
         decisions from its (now complete) scalar bundle."""
         if self._pending is None:
             return
-        ts, feats, out, T_prev, frame_id, was_loc = self._pending
+        ts, feats, out, T_prev, R_cm_prev, frame_id, was_loc = self._pending
         self._pending = None
         b = np.asarray(out.bundle)
         n_inliers = int(b[16])
@@ -413,9 +430,12 @@ class Tracker:
                     or n_inliers < 0.3 * max(n_matches, 1)
                     or jump > 0.30)
         if bad_pose:
-            # roll the speculative pose back to the last good one
+            # roll the speculative pose back to the last good one -- the
+            # Manhattan anchor too (it was advanced to the rejected pose's
+            # R_cm, ADVICE r2)
             self.state = TrackState.LOST
             self.T_cw = T_prev
+            self.R_cm = R_cm_prev
             self.velocity = jnp.eye(4)
             if self.metrics is not None:
                 self.metrics.log("frame_resolved", idx=frame_id,
@@ -544,5 +564,11 @@ class Tracker:
             self._reloc_failures = 0
             self.kf_pose_host.clear()
             self.kf_seq_host.clear()
+            self.kf_odom_host.clear()
+            # device kf_seq restarts at 0 with the fresh map state; the host
+            # counter must restart with it or corrected_trajectory()'s
+            # seq-match check silently rejects every post-reset frame
+            # (ADVICE r2, medium)
+            self._seq_counter = 0
         return TrackingResult(np.asarray(self.T_cw), TrackState.LOST,
                               0, 0, False, False, ts)
