@@ -144,6 +144,9 @@ class TrackingConfig:
     # LocalBundleAdjustment, Optimizer.cc:2067) instead of the whole map
     use_local_ba: bool = True
     local_ba_window: int = 8
+    # plane/line parameters + edges inside BA (the reference's full
+    # LocalBA/GBA edge set, Optimizer.cc:2441-2562)
+    use_struct_in_ba: bool = True
     # One-frame-lag state machine: per-frame scalar decisions (LOST /
     # keyframe) are resolved at the start of the NEXT frame, so the hot
     # loop never blocks on a fresh device buffer (a fresh-buffer D2H costs

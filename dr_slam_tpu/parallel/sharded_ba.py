@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dr_slam_tpu.optimize.global_ba import BAProblem, bundle_adjust
+from dr_slam_tpu.optimize.global_ba import (BAProblem, StructBlocks,
+                                            bundle_adjust)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "obs",
@@ -53,7 +54,7 @@ def shard_problem(p: BAProblem, mesh: Mesh, axis: str = "obs") -> BAProblem:
 
     obs_sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-    return BAProblem(
+    out = BAProblem(
         kf_pose=jax.device_put(p.kf_pose, rep),
         pt_pos=jax.device_put(p.pt_pos, rep),
         obs_kf=jax.device_put(pad_obs(p.obs_kf), obs_sh),
@@ -65,18 +66,46 @@ def shard_problem(p: BAProblem, mesh: Mesh, axis: str = "obs") -> BAProblem:
         kf_free=jax.device_put(p.kf_free, rep),
         pt_free=jax.device_put(p.pt_free, rep),
     )
+    if p.struct is not None:
+        s = p.struct
+
+        def pad_ax(x, fill=0):
+            pd = (-x.shape[0]) % n
+            if pd == 0:
+                return x
+            width = [(0, pd)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, width, constant_values=fill)
+
+        out = out._replace(struct=StructBlocks(
+            pl_coef=jax.device_put(s.pl_coef, rep),
+            pl_free=jax.device_put(s.pl_free, rep),
+            pobs_kf=jax.device_put(pad_ax(s.pobs_kf), obs_sh),
+            pobs_pl=jax.device_put(pad_ax(s.pobs_pl), obs_sh),
+            pobs_coef=jax.device_put(pad_ax(s.pobs_coef), obs_sh),
+            pobs_kind=jax.device_put(pad_ax(s.pobs_kind), obs_sh),
+            pobs_valid=jax.device_put(pad_ax(s.pobs_valid, False), obs_sh),
+            ln_ep=jax.device_put(s.ln_ep, rep),
+            ln_free=jax.device_put(s.ln_free, rep),
+            lobs_kf=jax.device_put(pad_ax(s.lobs_kf), obs_sh),
+            lobs_ln=jax.device_put(pad_ax(s.lobs_ln), obs_sh),
+            lobs_line=jax.device_put(pad_ax(s.lobs_line), obs_sh),
+            lobs_ep3=jax.device_put(pad_ax(s.lobs_ep3), obs_sh),
+            lobs_valid=jax.device_put(pad_ax(s.lobs_valid, False), obs_sh),
+        ))
+    return out
 
 
 def sharded_bundle_adjust(p: BAProblem, K4, mesh: Mesh, axis: str = "obs",
                           **kw):
     """bundle_adjust with observations sharded over the mesh. XLA inserts the
     ICI collectives (psum of J^T r / J^T J v partial sums) automatically from
-    the sharding annotations -- no hand-written NCCL analog."""
+    the sharding annotations -- no hand-written NCCL analog. Structural
+    (plane/line) observation tables shard over the same axis."""
     p = shard_problem(p, mesh, axis)
     rep = NamedSharding(mesh, P())
     fn = jax.jit(
         functools.partial(bundle_adjust, **kw),
-        out_shardings=(rep, rep),
+        out_shardings=(rep, rep) if p.struct is None else (rep,) * 4,
     )
     return fn(p, jnp.asarray(K4, dtype=jnp.float32))
 

@@ -349,17 +349,30 @@ class LoopCloser:
 
         # SearchAndFuse (LoopClosing.cc:633): after correction the two map
         # copies around the seam overlap -- merge landmarks created by the
-        # recent keyframes into their older duplicates.
+        # recent keyframes into their older duplicates. fuse_points_mask
+        # compacts at most K new points per call; the seam side can hold
+        # several keyframes' worth, so batch it (ADVICE r2) -- overflow
+        # points silently surviving as duplicates was the alternative.
         from dr_slam_tpu.slam import map_ops
+        K = state.kf_mp.shape[1]
         recent_slots = valid & (seq >= seq[cur_kf] - 5)
-        seam = jnp.asarray(recent_slots)[jnp.clip(state.pt_first_kf, 0)]
-        state = map_ops.fuse_points_mask(state, seam, fuse_dist=0.10)
+        seam_np = (np.asarray(state.pt_valid)
+                   & recent_slots[np.clip(np.asarray(state.pt_first_kf), 0,
+                                          None)])
+        seam_idx = np.where(seam_np)[0]
+        NP = seam_np.shape[0]
+        for s in range(0, len(seam_idx), K):
+            batch = np.zeros(NP, dtype=bool)
+            batch[seam_idx[s:s + K]] = True
+            state = map_ops.fuse_points_mask(state, jnp.asarray(batch),
+                                             fuse_dist=0.10)
 
         if self.run_gba:
             prob = problem_from_state(state)
-            kf_pose, pt_pos = bundle_adjust(prob, self.cfg.camera.K4,
-                                            n_gn_iters=4, n_cg_iters=30)
-            state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
+            kf_pose, pt_pos, pl_coef, ln_ep = bundle_adjust(
+                prob, self.cfg.camera.K4, n_gn_iters=4, n_cg_iters=30)
+            state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos,
+                                   pl_coef=pl_coef, ln_ep=ln_ep)
         return state
 
 
@@ -379,23 +392,81 @@ def _covis_full(state: MapState) -> jnp.ndarray:
     return C * state.kf_valid[:, None] * state.kf_valid[None, :]
 
 
+def _newest_observer(obs_tab, kp_ok, kf_valid, kf_seq, n_items, fallback):
+    """(n_items,) keyframe slot of the NEWEST (highest insertion seq)
+    observer of each landmark, from a (NK, K) id table; `fallback` where a
+    landmark has no live observer."""
+    NK, K = obs_tab.shape
+    flat = obs_tab.reshape(-1)
+    kfs = jnp.repeat(jnp.arange(NK, dtype=jnp.int32), K)
+    ok = (flat >= 0) & kp_ok.reshape(-1) & kf_valid[kfs]
+    code = jnp.where(ok, kf_seq[kfs] * NK + kfs, -1)
+    best = jnp.full(n_items, -1, jnp.int32).at[
+        jnp.where(ok, flat, n_items)].max(code, mode="drop")
+    return jnp.where(best >= 0, best % NK, fallback)
+
+
 @jax.jit
 def _reanchor_map(state: MapState, new_poses: jnp.ndarray) -> MapState:
-    """Move each landmark with its reference keyframe's correction:
+    """Move each landmark with its NEWEST observing keyframe's correction:
     X' = inv(T_new_ref) @ T_old_ref @ X (LoopClosing::CorrectLoop landmark
-    propagation)."""
-    ref = jnp.clip(state.pt_first_kf, 0)
-    T_old = state.kf_pose[ref]
-    T_new = new_poses[ref]
-    X_c = jnp.einsum("nij,nj->ni", T_old[:, :3, :3], state.pt_pos) \
-        + T_old[:, :3, 3]
-    Tn_inv = jax.vmap(se3.inv_T)(T_new)
-    X_w = jnp.einsum("nij,nj->ni", Tn_inv[:, :3, :3], X_c) + Tn_inv[:, :3, 3]
+    propagation; the reference propagates via each point's reference KF and
+    lets GBA clean up). The newest observer is the right anchor: a
+    landmark's current position reflects where its latest observations and
+    BA refinements put it, i.e. the newest observer's gauge -- anchoring to
+    the FIRST observer leaves mid-chain landmarks displaced by the full
+    inter-gauge drift after a correction, which the Huber-weighted GBA then
+    refuses to pull back (round-3 regression: 70+ LOST frames after a
+    mid-chain seam correction). Planes and lines move too -- a capability
+    the reference LACKS (LoopClosing.cc corrects points only), which here
+    would fight the plane/line BA edges after the correction."""
+    NK = state.kf_pose.shape[0]
+
+    def corr_of(ref_kf):
+        """A = inv(T_new) @ T_old per landmark: world -> corrected world."""
+        ref = jnp.clip(ref_kf, 0)
+        T_old = state.kf_pose[ref]
+        Tn_inv = jax.vmap(se3.inv_T)(new_poses[ref])
+        return Tn_inv @ T_old
+
+    pt_ref = _newest_observer(state.kf_mp, state.kf_kp_valid, state.kf_valid,
+                              state.kf_seq, state.pt_pos.shape[0],
+                              jnp.clip(state.pt_first_kf, 0))
+    A_pt = corr_of(pt_ref)
+    X_w = jnp.einsum("nij,nj->ni", A_pt[:, :3, :3], state.pt_pos) \
+        + A_pt[:, :3, 3]
     pt_pos = jnp.where(state.pt_valid[:, None], X_w, state.pt_pos)
 
-    # planes and lines re-anchor with the same correction of their... the
-    # reference does not correct planes/lines at loop closure at all
-    # (LoopClosing.cc handles points only -- SURVEY.md 2.1); we move lines
-    # with keyframe 0's correction (identity when KF0 is fixed) i.e. leave
-    # them, matching reference behavior.
-    return state._replace(pt_pos=pt_pos, kf_pose=new_poses)
+    # planes: X' = A X  =>  p' = inv(A)^T p; clouds move with A
+    pl_ref = _newest_observer(
+        state.kf_pl, jnp.ones(state.kf_pl.shape, bool), state.kf_valid,
+        state.kf_seq, state.pl_coef.shape[0],
+        jnp.clip(state.pl_first_kf, 0))
+    A_pl = corr_of(pl_ref)
+    A_pl_inv = jax.vmap(se3.inv_T)(A_pl)
+    p_new = jnp.einsum("nji,nj->ni", A_pl_inv, state.pl_coef)
+    p_new = p_new / jnp.maximum(
+        jnp.linalg.norm(p_new[:, :3], axis=-1, keepdims=True), 1e-9)
+    p_new = p_new * jnp.where(p_new[:, 3:4] < 0, -1.0, 1.0)
+    pl_coef = jnp.where(state.pl_valid[:, None], p_new, state.pl_coef)
+    cloud_new = (jnp.einsum("nij,nqj->nqi", A_pl[:, :3, :3], state.pl_cloud)
+                 + A_pl[:, None, :3, 3])
+    pl_cloud = jnp.where(state.pl_valid[:, None, None], cloud_new,
+                         state.pl_cloud)
+
+    # lines: both endpoints move with the newest observer's correction
+    ln_ref = _newest_observer(
+        state.kf_ln, jnp.ones(state.kf_ln.shape, bool), state.kf_valid,
+        state.kf_seq, state.ln_ep.shape[0], jnp.clip(state.ln_first_kf, 0))
+    A_ln = corr_of(ln_ref)
+    e1 = jnp.einsum("nij,nj->ni", A_ln[:, :3, :3], state.ln_ep[:, :3]) \
+        + A_ln[:, :3, 3]
+    e2 = jnp.einsum("nij,nj->ni", A_ln[:, :3, :3], state.ln_ep[:, 3:]) \
+        + A_ln[:, :3, 3]
+    ln_new = jnp.concatenate([e1, e2], -1)
+    ln_ep = jnp.where(state.ln_valid[:, None], ln_new, state.ln_ep)
+    dir_new = jnp.einsum("nij,nj->ni", A_ln[:, :3, :3], state.ln_dir)
+    ln_dir = jnp.where(state.ln_valid[:, None], dir_new, state.ln_dir)
+
+    return state._replace(pt_pos=pt_pos, pl_coef=pl_coef, pl_cloud=pl_cloud,
+                          ln_ep=ln_ep, ln_dir=ln_dir, kf_pose=new_poses)

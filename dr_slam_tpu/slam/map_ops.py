@@ -468,10 +468,27 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
         feats.planes.cloud_valid, mode="drop")
     pl_valid = state.pl_valid.at[pslot].set(True, mode="drop")
     pl_obs = pl_obs.at[pslot].set(1, mode="drop")
+    pl_first = state.pl_first_kf.at[pslot].set(k, mode="drop")
+
+    # per-keyframe plane observation row (KeyFrame::AddMapPlane; feeds
+    # LocalBA/GBA EdgePlane/EdgeParallelPlane/EdgeVerticalPlane,
+    # Optimizer.cc:2441-2562): direct id = match or freshly created slot
+    NFcap = state.pl_coef.shape[0]
+    kf_pl_row = jnp.where(matched, pm.match_idx,
+                          jnp.where(pcan & (pslot < NFcap),
+                                    pslot.astype(jnp.int32), -1))
+    kf_pl_row = jnp.where(feats.planes.valid, kf_pl_row, -1)
+    par_row = jnp.where(feats.planes.valid, pm.par_idx, -1)
+    ver_row = jnp.where(feats.planes.valid, pm.ver_idx, -1)
 
     state = state._replace(pl_coef=pl_coef, pl_cloud=pl_cloud,
                            pl_cloud_valid=pl_cloud_valid, pl_valid=pl_valid,
-                           pl_obs_count=pl_obs)
+                           pl_obs_count=pl_obs, pl_first_kf=pl_first,
+                           kf_pl=state.kf_pl.at[k].set(kf_pl_row),
+                           kf_pl_par=state.kf_pl_par.at[k].set(par_row),
+                           kf_pl_ver=state.kf_pl_ver.at[k].set(ver_row),
+                           kf_pl_obs=state.kf_pl_obs.at[k].set(
+                               feats.planes.coeffs))
 
     # ---- lines: add unmatched 3D lines, bump matched ------------------------
     NL = cfg.map.max_lines
@@ -490,6 +507,12 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
     lfree = jnp.sum(~state.ln_valid)
     lcan = new_ln & (lrank < lfree)
     lslot = jnp.where(lcan, lslots_all[jnp.clip(lrank, 0, NL - 1)], NL)
+    # per-keyframe line observation row (KeyFrame::AddMapLine; feeds BA
+    # EdgeLineProjectXYZ): matched map line or freshly created slot
+    kf_ln_row = jnp.where(lmatched, lm_idx,
+                          jnp.where(lcan & (lslot < NL),
+                                    lslot.astype(jnp.int32), -1))
+    kf_ln_row = jnp.where(feats.lines.valid, kf_ln_row, -1)
     state = state._replace(
         ln_ep=state.ln_ep.at[lslot].set(ep_w, mode="drop"),
         ln_dir=state.ln_dir.at[lslot].set(dir_w, mode="drop"),
@@ -498,6 +521,11 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
         ln_obs_count=ln_obs.at[lslot].set(1, mode="drop"),
         ln_found=ln_found.at[lslot].set(1, mode="drop"),
         ln_visible=state.ln_visible.at[lslot].set(1, mode="drop"),
+        ln_first_kf=state.ln_first_kf.at[lslot].set(k, mode="drop"),
+        kf_ln=state.kf_ln.at[k].set(kf_ln_row),
+        kf_ln_obs=state.kf_ln_obs.at[k].set(feats.lines.lineq),
+        kf_ln_xyz=state.kf_ln_xyz.at[k].set(
+            jnp.where(feats.lines.has3d[:, None], feats.lines.ep3d, 0.0)),
         n_lns=jnp.sum(state.ln_valid.at[lslot].set(True, mode="drop")),
         n_pts=jnp.sum(pt_valid),
     )
@@ -580,8 +608,26 @@ def cull_map(state: MapState, merge_angle_cos: float = 0.985,
     merged_away = jnp.any(dup, 0)
     pl_valid = state.pl_valid & ~merged_away
 
+    # rewrite keyframe structural observations through the merges and drop
+    # entries whose landmark died (MapPlane/MapLine::Replace + SetBadFlag
+    # erase themselves from observing keyframes) -- stale ids would attach
+    # old observations to unrelated recycled slots in BA
+    pl_redirect = jnp.where(merged_away, jnp.argmax(dup, 0), ii)
+
+    def _remap(tab, redirect, alive):
+        t = jnp.where(tab >= 0, redirect[jnp.clip(tab, 0)], -1)
+        return jnp.where((t >= 0) & alive[jnp.clip(t, 0)], t, -1)
+
+    kf_pl = _remap(state.kf_pl, pl_redirect, pl_valid)
+    kf_pl_par = _remap(state.kf_pl_par, pl_redirect, pl_valid)
+    kf_pl_ver = _remap(state.kf_pl_ver, pl_redirect, pl_valid)
+    ln_redirect = jnp.where(loser, winner_of, li)
+    kf_ln = _remap(state.kf_ln, ln_redirect, ln_valid)
+
     return state._replace(pt_valid=pt_valid, pl_valid=pl_valid,
                           ln_valid=ln_valid, kf_mp=kf_mp,
+                          kf_pl=kf_pl, kf_pl_par=kf_pl_par,
+                          kf_pl_ver=kf_pl_ver, kf_ln=kf_ln,
                           ln_obs_count=ln_obs2, ln_found=ln_found2,
                           pt_obs_count=pt_obs_count, n_pts=jnp.sum(pt_valid),
                           n_lns=jnp.sum(ln_valid))

@@ -57,12 +57,23 @@ class MapState(NamedTuple):
     kf_kp_valid: jnp.ndarray   # (NK, K) bool
     kf_mp: jnp.ndarray         # (NK, K) int32 map-point id or -1
     kf_bow: jnp.ndarray        # (NK, W) float32 tf-idf BoW vector
+    # structural observation tables (per keyframe): the reference's
+    # KeyFrame::AddMapPlane / AddMapLine observation maps (KeyFrame.h), the
+    # inputs to LocalBA/GBA plane+line edges (Optimizer.cc:2441-2562)
+    kf_pl: jnp.ndarray         # (NK, Fp) int32 direct map-plane id or -1
+    kf_pl_par: jnp.ndarray     # (NK, Fp) int32 parallel-relation id or -1
+    kf_pl_ver: jnp.ndarray     # (NK, Fp) int32 vertical-relation id or -1
+    kf_pl_obs: jnp.ndarray     # (NK, Fp, 4) observed camera-frame coeffs
+    kf_ln: jnp.ndarray         # (NK, Fl) int32 map-line id or -1
+    kf_ln_obs: jnp.ndarray     # (NK, Fl, 3) observed 2D line equation
+    kf_ln_xyz: jnp.ndarray     # (NK, Fl, 6) measured camera-frame endpoints
     # --- map planes (MapPlane equivalent, include/MapPlane.h) --------------
     pl_coef: jnp.ndarray       # (NF, 4) world (n, d) normalized
     pl_valid: jnp.ndarray      # (NF,) bool
     pl_cloud: jnp.ndarray      # (NF, Q, 3) world sample cloud
     pl_cloud_valid: jnp.ndarray  # (NF, Q)
     pl_obs_count: jnp.ndarray  # (NF,) int32
+    pl_first_kf: jnp.ndarray   # (NF,) int32 creating keyframe (re-anchoring)
     # --- map lines (MapLine equivalent, include/MapLine.h) -----------------
     ln_ep: jnp.ndarray         # (NL, 6) world endpoints
     ln_dir: jnp.ndarray        # (NL, 3) world direction
@@ -71,6 +82,7 @@ class MapState(NamedTuple):
     ln_obs_count: jnp.ndarray  # (NL,) int32
     ln_visible: jnp.ndarray    # (NL,) int32
     ln_found: jnp.ndarray      # (NL,) int32
+    ln_first_kf: jnp.ndarray   # (NL,) int32 creating keyframe (re-anchoring)
     # --- Manhattan frame ----------------------------------------------------
     R_wm: jnp.ndarray          # (3, 3) Manhattan axes in world coordinates
     manhattan_ok: jnp.ndarray  # () bool
@@ -86,6 +98,8 @@ def make_empty_state(cfg: SlamConfig) -> MapState:
     K = cfg.orb.max_keypoints
     NP, NK, NF, NL, Q, W = (m.max_points, m.max_keyframes, m.max_planes,
                             m.max_lines, cfg.plane.cloud_points, m.vocab_words)
+    Fp = cfg.plane.max_planes      # frame-plane observation slots per KF
+    Fl = cfg.line.max_lines        # frame-line observation slots per KF
     z = jnp.zeros
     return MapState(
         pt_pos=z((NP, 3)), pt_normal=z((NP, 3)),
@@ -100,12 +114,21 @@ def make_empty_state(cfg: SlamConfig) -> MapState:
         kf_sigma2=jnp.ones((NK, K)), kf_angle=z((NK, K)),
         kf_kp_valid=z((NK, K), bool),
         kf_mp=jnp.full((NK, K), -1, jnp.int32), kf_bow=z((NK, W)),
+        kf_pl=jnp.full((NK, Fp), -1, jnp.int32),
+        kf_pl_par=jnp.full((NK, Fp), -1, jnp.int32),
+        kf_pl_ver=jnp.full((NK, Fp), -1, jnp.int32),
+        kf_pl_obs=z((NK, Fp, 4)).at[:, :, 2].set(1.0),
+        kf_ln=jnp.full((NK, Fl), -1, jnp.int32),
+        kf_ln_obs=z((NK, Fl, 3)),
+        kf_ln_xyz=z((NK, Fl, 6)),
         pl_coef=z((NF, 4)).at[:, 2].set(1.0), pl_valid=z(NF, bool),
         pl_cloud=z((NF, Q, 3)), pl_cloud_valid=z((NF, Q), bool),
         pl_obs_count=z(NF, jnp.int32),
+        pl_first_kf=jnp.full((NF,), -1, jnp.int32),
         ln_ep=z((NL, 6)), ln_dir=z((NL, 3)), ln_desc=z((NL, 8), jnp.uint32),
         ln_valid=z(NL, bool), ln_obs_count=z(NL, jnp.int32),
         ln_visible=z(NL, jnp.int32), ln_found=z(NL, jnp.int32),
+        ln_first_kf=jnp.full((NL,), -1, jnp.int32),
         R_wm=jnp.eye(3), manhattan_ok=jnp.asarray(False),
         n_pts=jnp.asarray(0, jnp.int32), n_kfs=jnp.asarray(0, jnp.int32),
         n_lns=jnp.asarray(0, jnp.int32),

@@ -459,19 +459,26 @@ class Tracker:
                                                     local_problem_from_state,
                                                     problem_from_state)
         cfg = self.cfg
+        ws = cfg.tracking.use_struct_in_ba
         if cfg.tracking.use_local_ba and center_kf is not None:
             prob, win = local_problem_from_state(
                 self.map_state, jnp.asarray(int(center_kf)),
-                window=cfg.tracking.local_ba_window)
-            kf_pose_w, pt_pos = bundle_adjust(prob, cfg.camera.K4,
-                                              n_gn_iters=4, n_cg_iters=24)
-            kf_pose = self.map_state.kf_pose.at[win].set(kf_pose_w)
+                window=cfg.tracking.local_ba_window, with_struct=ws)
+            out = bundle_adjust(prob, cfg.camera.K4,
+                                n_gn_iters=4, n_cg_iters=24)
+            kf_pose = self.map_state.kf_pose.at[win].set(out[0])
         else:
-            prob = problem_from_state(self.map_state)
-            kf_pose, pt_pos = bundle_adjust(prob, cfg.camera.K4,
-                                            n_gn_iters=4, n_cg_iters=24)
+            prob = problem_from_state(self.map_state, with_struct=ws)
+            out = bundle_adjust(prob, cfg.camera.K4,
+                                n_gn_iters=4, n_cg_iters=24)
+            kf_pose = out[0]
+        pt_pos = out[1]
+        pl_coef = out[2] if ws else self.map_state.pl_coef
+        ln_ep = out[3] if ws else self.map_state.ln_ep
         self.map_state = self.map_state._replace(kf_pose=kf_pose,
-                                                 pt_pos=pt_pos)
+                                                 pt_pos=pt_pos,
+                                                 pl_coef=pl_coef,
+                                                 ln_ep=ln_ep)
 
     # ------------------------------------------------------------------
     def _relocalize(self, feats: FrameFeatures, ts: float) -> TrackingResult:

@@ -62,8 +62,48 @@ def _inject_progressive_drift(tr):
         S = shifts.get(int(pt_newest[p]))
         if S is not None:
             pt[p] = S[:3, :3] @ pt[p] + S[:3, 3]
+
+    # planes and lines drift too (with their newest observing keyframe, like
+    # points): real odometry drift carries the WHOLE local map; leaving them
+    # in the original gauge would make the structural BA edges fight the
+    # drifted points instead of modeling drift
+    def newest_observer(kf_tab, n_items):
+        newest = np.full(n_items, -1, np.int64)
+        newest_seq = np.full(n_items, -1, np.int64)
+        for k in np.where(kf_valid)[0]:
+            ids = kf_tab[k][kf_tab[k] >= 0]
+            upd = seqs[k] > newest_seq[ids]
+            newest[ids[upd]] = k
+            newest_seq[ids[upd]] = seqs[k]
+        return newest
+
+    pl_coef = np.asarray(st.pl_coef).copy()
+    pl_cloud = np.asarray(st.pl_cloud).copy()
+    pl_newest = newest_observer(np.asarray(st.kf_pl), pl_coef.shape[0])
+    for f in np.where(np.asarray(st.pl_valid))[0]:
+        S = shifts.get(int(pl_newest[f]))
+        if S is not None:
+            pl_coef[f] = np.linalg.inv(S).T @ pl_coef[f]
+            pl_coef[f] /= np.linalg.norm(pl_coef[f][:3])
+            if pl_coef[f][3] < 0:
+                pl_coef[f] *= -1
+            pl_cloud[f] = pl_cloud[f] @ S[:3, :3].T + S[:3, 3]
+    ln_ep = np.asarray(st.ln_ep).copy()
+    ln_dir = np.asarray(st.ln_dir).copy()
+    ln_newest = newest_observer(np.asarray(st.kf_ln), ln_ep.shape[0])
+    for l in np.where(np.asarray(st.ln_valid))[0]:
+        S = shifts.get(int(ln_newest[l]))
+        if S is not None:
+            ln_ep[l, :3] = S[:3, :3] @ ln_ep[l, :3] + S[:3, 3]
+            ln_ep[l, 3:] = S[:3, :3] @ ln_ep[l, 3:] + S[:3, 3]
+            ln_dir[l] = S[:3, :3] @ ln_dir[l]
+
     tr.map_state = st._replace(kf_pose=jnp.asarray(kf_pose),
-                               pt_pos=jnp.asarray(pt))
+                               pt_pos=jnp.asarray(pt),
+                               pl_coef=jnp.asarray(pl_coef),
+                               pl_cloud=jnp.asarray(pl_cloud),
+                               ln_ep=jnp.asarray(ln_ep),
+                               ln_dir=jnp.asarray(ln_dir))
     tr.T_cw = jnp.asarray(np.asarray(tr.T_cw) @ np.linalg.inv(_drift_T(1.0)))
 
 
