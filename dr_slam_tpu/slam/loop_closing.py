@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dr_slam_tpu.associate import keyframe_db
 from dr_slam_tpu.associate.vocabulary import bow_scores
 from dr_slam_tpu.config import SlamConfig
 from dr_slam_tpu.geometry import se3
@@ -171,20 +172,23 @@ class LoopCloser:
         recent = np.abs(seq - seq[cur_kf]) < self.min_kf_gap
         min_score = float(scores[neighbor & (scores > 0)].min()) \
             if (neighbor & (scores > 0)).any() else 0.05
-        # RELAXED vs the reference's hard minScore gate (LoopClosing.cc:135):
-        # geometric verification here is cheap (batched Horn RANSAC, a few
-        # ms per candidate) and sharply discriminative, so detection can
-        # afford a wider net -- a true revisit seen from a drifted pose
-        # often scores just below the covisible-neighbor floor.
-        cand_mask = (scores >= max(0.75 * min_score, 0.05)) & ~neighbor \
-            & ~recent & valid
-        candidates = np.where(cand_mask)[0]
+        # discriminative detection (KeyFrameDatabase.cc:76-199): shared-word
+        # gate (>0.8*maxCommonWords), the covisible-neighbor minScore floor
+        # (LoopClosing.cc:135), then covisibility-group score ACCUMULATION --
+        # only groups within 0.75x of the best group survive, represented by
+        # their best member. This is what keeps self-similar texture from
+        # flooding the verifier with a candidate at every keyframe.
+        common = np.asarray(keyframe_db.common_word_counts(
+            state.kf_bow[cur_kf], state.kf_bow, state.kf_valid))
+        allowed = valid & ~neighbor & ~recent
+        covis_full_np = np.asarray(_covis_full(state))
+        candidates = keyframe_db.group_candidates(
+            scores, common, covis_full_np, allowed, min_score=min_score)
         if os.environ.get("DRSLAM_LC_DEBUG"):
-            old = valid & ~neighbor & ~recent
             print(f"[loop] kf={cur_kf} seq={seq[cur_kf]} min_score="
                   f"{min_score:.3f} cands={list(candidates)} "
                   f"best_nonneighbor="
-                  f"{[(int(k), round(float(scores[k]), 3)) for k in np.argsort(-scores * old)[:3]]}",
+                  f"{[(int(k), round(float(scores[k]), 3)) for k in np.argsort(-scores * allowed)[:3]]}",
                   flush=True)
         if len(candidates) == 0:
             self._consistency = {}

@@ -482,16 +482,31 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _relocalize(self, feats: FrameFeatures, ts: float) -> TrackingResult:
-        """Relocalization (Tracking.cc:3543): BoW candidates over keyframes,
-        descriptor match against the best, PnP-RANSAC + pose optimization."""
+        """Relocalization (Tracking.cc:3543): covisibility-group BoW
+        candidates over keyframes (KeyFrameDatabase.cc:201 Detect-
+        RelocalizationCandidates), descriptor match per candidate,
+        PnP/Horn-RANSAC + pose optimization, then the reference's inlier
+        ladder: if the first optimization lands under 50 inliers, a wide
+        projection search against the map re-feeds a second optimization
+        (Tracking.cc:3627-3664) before the full-map acceptance check."""
+        from dr_slam_tpu.associate import keyframe_db
         from dr_slam_tpu.associate.vocabulary import bow_scores
         from dr_slam_tpu.optimize.pnp import pnp_ransac
+        from dr_slam_tpu.slam.loop_closing import _covis_full
 
         cfg = self.cfg
         st = self.map_state
         bow = compute_bow(feats.kp.desc, feats.kp.valid, cfg.map.vocab_words)
-        scores = bow_scores(bow, st.kf_bow, st.kf_valid)
-        order = np.argsort(-np.asarray(scores))[:3]
+        scores = np.asarray(bow_scores(bow, st.kf_bow, st.kf_valid))
+        # group-accumulated shortlist; no minScore floor for reloc (the
+        # query frame has no covisible neighbors to derive one from)
+        common = np.asarray(keyframe_db.common_word_counts(
+            bow, st.kf_bow, st.kf_valid))
+        order = keyframe_db.group_candidates(
+            scores, common, np.asarray(_covis_full(st)),
+            np.asarray(st.kf_valid, dtype=bool))[:5]
+        if not order:  # degenerate BoW (e.g. near-empty frame): score order
+            order = [int(k) for k in np.argsort(-scores)[:3]]
 
         for kf_id in order:
             if float(scores[kf_id]) <= 0:
@@ -528,6 +543,23 @@ class Tracker:
             obs = map_ops.build_pose_obs(st, feats, ref.mp_idx, pm, lm.ml_idx,
                                          n_struct=cfg.map.max_kf_planes)
             opt = pose_optimize(T0, obs, cfg.camera.K4, cfg.camera.bf)
+            if int(opt.n_inliers) < 50:
+                # candidate ladder (Tracking.cc:3627-3664): the candidate-
+                # keyframe matches were too thin -- search the WHOLE map by
+                # projection from the coarse pose with a wide window, then
+                # re-optimize on the richer association set
+                wide = map_ops.match_points_projection(
+                    st, feats.kp.uv, feats.kp.desc, feats.kp.valid,
+                    opt.T_cw, cfg.camera.K4, radius=10.0,
+                    max_hamming=map_ops.TH_HIGH,
+                    width=cfg.camera.width, height=cfg.camera.height,
+                    kp_angle=feats.kp.angle)
+                if int(wide.n_matches) > int(opt.n_inliers):
+                    obs = map_ops.build_pose_obs(
+                        st, feats, wide.mp_idx, pm, lm.ml_idx,
+                        n_struct=cfg.map.max_kf_planes)
+                    opt = pose_optimize(opt.T_cw, obs, cfg.camera.K4,
+                                        cfg.camera.bf)
             # verify against the FULL map, not just the candidate keyframe:
             # an aliased BoW+PnP pose matches one keyframe consistently but
             # projects poorly against the rest of the map

@@ -77,3 +77,47 @@ def test_registered_vocabulary_used_and_discriminative():
         assert s_same > s_diff + 0.5, (s_same, s_diff)
     finally:
         voc._trained_signs.clear()   # don't leak into other tests
+
+
+def test_group_candidates_discriminative():
+    """Covisibility-group accumulation (KeyFrameDatabase.cc:140-199): a
+    coherent revisit GROUP beats an isolated high scorer; shared-word and
+    min-score gates prune the near-uniform background."""
+    from dr_slam_tpu.associate import keyframe_db
+
+    NK = 12
+    scores = np.full(NK, 0.30)
+    common = np.full(NK, 40)
+    covis = np.zeros((NK, NK))
+    # true revisit group {2,3,4}: mutually covisible, good scores + words
+    for i in (2, 3, 4):
+        for j in (2, 3, 4):
+            if i != j:
+                covis[i, j] = 50
+    scores[[2, 3, 4]] = (0.55, 0.60, 0.50)
+    common[[2, 3, 4]] = (90, 100, 85)
+    # isolated impostor: the single best raw score, but no group support
+    scores[8], common[8] = 0.65, 95
+    allowed = np.ones(NK, bool)
+    allowed[0] = False  # e.g. current keyframe
+
+    reps = keyframe_db.group_candidates(scores, common, covis, allowed,
+                                        min_score=0.35)
+    # group {2,3,4} accumulates 1.65 > impostor 0.65 -> ranked first, and
+    # the group is represented ONCE by its best member (kf 3)
+    assert reps[0] == 3, reps
+    assert 2 not in reps and 4 not in reps, reps
+    # background keyframes (score 0.30 < min_score, common 40 < 0.8*100)
+    # never appear
+    assert all(r in (3, 8) for r in reps), reps
+
+
+def test_group_candidates_shared_word_gate():
+    from dr_slam_tpu.associate import keyframe_db
+
+    scores = np.array([0.9, 0.9, 0.9, 0.9])
+    common = np.array([100, 10, 10, 10])   # only kf0 clears 0.8*max
+    covis = np.zeros((4, 4))
+    reps = keyframe_db.group_candidates(scores, common, covis,
+                                        np.ones(4, bool))
+    assert reps == [0], reps
