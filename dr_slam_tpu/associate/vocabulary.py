@@ -113,6 +113,25 @@ def _compute_bow(desc, valid, cb) -> jnp.ndarray:
     return hist / jnp.maximum(jnp.sum(hist), 1e-6)
 
 
+def word_ids(desc: jnp.ndarray, n_words: int = 4096) -> jnp.ndarray:
+    """(K, 8) packed descriptors -> (K,) vocabulary word assignment.
+
+    Per-descriptor word ids are what DBoW2's FeatureVector carries for
+    SearchByBoW (ORBmatcher.cc:160): candidate pairs are restricted to the
+    same word, which both prunes aliasing on repetitive texture and keeps
+    the search discriminative."""
+    cb = jnp.asarray(get_codebook_signs(n_words), dtype=jnp.bfloat16)
+    return _word_ids(desc, cb)
+
+
+@jax.jit
+def _word_ids(desc, cb) -> jnp.ndarray:
+    signs = bits_to_signs(unpack_bits(desc))
+    dot = jnp.dot(signs, cb.T.astype(signs.dtype),
+                  preferred_element_type=jnp.float32)
+    return jnp.argmax(dot, -1).astype(jnp.int32)
+
+
 @jax.jit
 def bow_scores(bow: jnp.ndarray, kf_bows: jnp.ndarray,
                kf_valid: jnp.ndarray) -> jnp.ndarray:

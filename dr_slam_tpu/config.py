@@ -109,6 +109,7 @@ class MapConfig:
     max_keyframes: int = 512
     max_kf_planes: int = 16    # plane observations per keyframe
     vocab_words: int = 4096    # device BoW vocabulary size
+    desc_ring: int = 4         # stored descriptors per map point (median pick)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,7 +133,7 @@ class TrackingConfig:
     # calls the full-SE3 solve (its TranslationEstimation calls are
     # commented out, Tracking.cc:356-373).
     translation_only_with_manhattan: bool = False
-    use_ref_kf_anchor: bool = False   # brute-force matches alias on repetitive texture
+    use_ref_kf_anchor: bool = True    # BoW-word-bucketed (no brute-force aliasing)
     run_ba_on_keyframe: bool = True
     run_cull_on_keyframe: bool = True
     # LocalMapping completion (reference LocalMapping.cc):

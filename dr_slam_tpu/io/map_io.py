@@ -26,6 +26,12 @@ def load_map(path: str, cfg: SlamConfig) -> MapState:
     template = make_empty_state(cfg)
     fields = {}
     for k, tmpl in template._asdict().items():
+        if k == "pt_desc_ring" and k not in data:
+            # maps saved before the observation ring existed: seed every
+            # ring slot with the stored distinctive descriptor
+            ring = np.broadcast_to(data["pt_desc"][:, None, :], tmpl.shape)
+            fields[k] = jnp.asarray(ring, dtype=tmpl.dtype)
+            continue
         arr = data[k]
         if arr.shape != tmpl.shape:
             raise ValueError(

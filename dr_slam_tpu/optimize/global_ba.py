@@ -335,6 +335,13 @@ def bundle_adjust(p: BAProblem, K4, n_gn_iters: int = 8, n_cg_iters: int = 40,
             return info
         hw = jnp.where(chi2 <= chi2_th, 1.0,
                        jnp.sqrt(chi2_th / jnp.maximum(chi2, 1e-9)))
+        # redescending cut: the reference's two-round BA HARD-DROPS edges
+        # whose chi2 exceeds the threshold between rounds (Optimizer.cc
+        # outlier flagging); soft Huber alone lets gross outliers -- e.g.
+        # cross-seam observations after a large loop correction -- keep a
+        # sqrt-scaled pull on every pose they touch. Weights are recomputed
+        # every GN iteration, so an edge recovers if its residual shrinks.
+        hw = jnp.where(chi2 > 16.0 * chi2_th, 0.0, hw)
         return info * hw[:, None]
 
     def weights(T_all, X_all, P_all, L_all):

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from dr_slam_tpu.config import SlamConfig
 from dr_slam_tpu.frontend.frame import FrameFeatures
 from dr_slam_tpu.geometry import se3
+from dr_slam_tpu.ops import orb as orb_ops
 from dr_slam_tpu.ops.hamming import hamming_matrix
 from dr_slam_tpu.optimize.pose_opt import PoseObservations
 from dr_slam_tpu.slam.state import MapState
@@ -159,10 +160,16 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
 
 @jax.jit
 def match_reference_kf(state: MapState, kf_id, kp_desc, kp_valid,
-                       max_hamming: float = TH_LOW, ratio: float = 0.75
-                       ) -> PointMatches:
+                       max_hamming: float = TH_LOW, ratio: float = 0.75,
+                       kp_word=None, kf_word=None) -> PointMatches:
     """Frame <-> keyframe descriptor matching, returning map-point ids
-    through the keyframe's observation table (SearchByBoW capability)."""
+    through the keyframe's observation table (SearchByBoW capability).
+
+    When per-descriptor vocabulary word ids are supplied (kp_word/kf_word,
+    from vocabulary.word_ids), candidate pairs are restricted to the SAME
+    word -- the DBoW2 FeatureVector bucketing of ORBmatcher::SearchByBoW
+    (ORBmatcher.cc:160) that keeps brute-force Hamming from aliasing on
+    repetitive texture."""
     kdesc = state.kf_desc[kf_id]
     # gate on current pt_valid too: a culled point must not be re-served
     # through an old keyframe row (observations are erased lazily in cull_map
@@ -171,7 +178,10 @@ def match_reference_kf(state: MapState, kf_id, kp_desc, kp_valid,
     kvalid = (state.kf_kp_valid[kf_id] & (row >= 0)
               & state.pt_valid[jnp.clip(row, 0)])
     ham = hamming_matrix(kp_desc, kdesc)
-    D = jnp.where(kp_valid[:, None] & kvalid[None, :], ham, jnp.inf)
+    gate = kp_valid[:, None] & kvalid[None, :]
+    if kp_word is not None and kf_word is not None:
+        gate &= kp_word[:, None] == kf_word[None, :]
+    D = jnp.where(gate, ham, jnp.inf)
     best_j = jnp.argmin(D, 1)
     k_idx = jnp.arange(D.shape[0])
     best_d = D[k_idx, best_j]
@@ -402,16 +412,39 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
     kf_mp_row = jnp.where(can & (slot < NP), slot.astype(jnp.int32), mp_idx)
     pt_obs = state.pt_obs_count.at[jnp.clip(kf_mp_row, 0)].add(
         (kf_mp_row >= 0).astype(jnp.int32))
-    # refresh matched landmarks' descriptors/angles with the current view
-    # (the role of MapPoint::ComputeDistinctiveDescriptors -- keeps
-    # descriptors matchable as the viewpoint departs from creation)
+    # MapPoint::ComputeDistinctiveDescriptors: each point keeps a ring of
+    # its R most recent observed descriptors; the REPRESENTATIVE descriptor
+    # is the ring entry with the least median Hamming distance to the
+    # others -- descriptor identity stays central instead of drifting with
+    # the latest viewpoint. Computed only over this frame's K keypoints
+    # (matmul-shaped, ~K*R^2 distances), not the whole map.
+    Kk = feats.kp.desc.shape[0]
+    Rr = state.pt_desc_ring.shape[1]
     m_tgt = jnp.where(mp_idx >= 0, mp_idx, NP)
-    pt_desc = pt_desc.at[m_tgt].set(feats.kp.desc, mode="drop")
+    ring_slot = state.pt_obs_count[jnp.clip(mp_idx, 0)] % Rr
+    # creation fills the whole ring with the first descriptor
+    pt_ring = state.pt_desc_ring.at[slot].set(
+        jnp.broadcast_to(feats.kp.desc[:, None, :], (Kk, Rr, 8)),
+        mode="drop")
+    pt_ring = pt_ring.at[m_tgt, ring_slot].set(feats.kp.desc, mode="drop")
+    ring_m = pt_ring[jnp.clip(m_tgt, 0, NP - 1)]             # (K, R, 8)
+    sg = orb_ops.bits_to_signs(orb_ops.unpack_bits(
+        ring_m.reshape(-1, 8))).reshape(Kk, Rr, 256)
+    dot = jnp.einsum("krc,kqc->krq", sg, sg,
+                     preferred_element_type=jnp.float32)
+    ham = (256.0 - dot) * 0.5
+    ham = jnp.where(jnp.eye(Rr, dtype=bool)[None], jnp.inf, ham)
+    med = jnp.sort(ham, axis=-1)[:, :, (Rr - 2) // 2]        # median of R-1
+    best_r = jnp.argmin(med, axis=-1)                        # (K,)
+    distinct = jnp.take_along_axis(
+        ring_m, best_r[:, None, None].astype(jnp.int32), 1)[:, 0]
+    pt_desc = pt_desc.at[m_tgt].set(distinct, mode="drop")
     pt_angle = pt_angle.at[m_tgt].set(feats.kp.angle, mode="drop")
 
     # ---- write keyframe row -------------------------------------------------
     state = state._replace(
         pt_pos=pt_pos, pt_normal=pt_normal, pt_desc=pt_desc,
+        pt_desc_ring=pt_ring,
         pt_valid=pt_valid, pt_visible=pt_visible, pt_found=pt_found,
         pt_first_kf=pt_first, pt_obs_count=pt_obs, pt_angle=pt_angle,
         kf_pose=state.kf_pose.at[k].set(T_cw),
@@ -513,9 +546,37 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
                           jnp.where(lcan & (lslot < NL),
                                     lslot.astype(jnp.int32), -1))
     kf_ln_row = jnp.where(feats.lines.valid, kf_ln_row, -1)
+    # matched-line geometry refresh (MapLine::UpdateAverageDir,
+    # src/MapLine.cpp): direction is the obs-count-weighted running average
+    # (new observation sign-aligned first), endpoints become the EXTREMES of
+    # old+new endpoints projected on the refreshed direction -- re-observed
+    # lines extend and straighten instead of freezing at creation.
+    lmids = jnp.clip(lm_idx, 0)
+    d_old = state.ln_dir[lmids]
+    # geometry refresh requires direction AGREEMENT (<~11 deg): a
+    # descriptor-aliased match to a different physical line must not be
+    # averaged in -- extend-to-extremes would glue the two lines into one
+    # long wrong segment and poison every later projection match
+    d_agree = jnp.abs(jnp.sum(d_old * dir_w, -1)) > 0.98
+    lm_tgt = jnp.where(lmatched & d_agree, lm_idx, NL)
+    flip = jnp.sign(jnp.sum(d_old * dir_w, -1, keepdims=True))
+    flip = jnp.where(flip == 0.0, 1.0, flip)
+    w_obs = state.ln_obs_count[lmids].astype(jnp.float32)[:, None]
+    d_avg = d_old * w_obs + dir_w * flip
+    d_avg = d_avg / jnp.maximum(
+        jnp.linalg.norm(d_avg, axis=-1, keepdims=True), 1e-9)
+    eps4 = jnp.stack([state.ln_ep[lmids, :3], state.ln_ep[lmids, 3:],
+                      ep_w[:, :3], ep_w[:, 3:]], 1)         # (Fl, 4, 3)
+    ctr = jnp.mean(eps4, 1)
+    s4 = jnp.einsum("fpc,fc->fp", eps4 - ctr[:, None], d_avg)
+    ep_lo = ctr + jnp.min(s4, 1)[:, None] * d_avg
+    ep_hi = ctr + jnp.max(s4, 1)[:, None] * d_avg
+    ep_refreshed = jnp.concatenate([ep_lo, ep_hi], -1)
+    ln_ep2 = state.ln_ep.at[lm_tgt].set(ep_refreshed, mode="drop")
+    ln_dir2 = state.ln_dir.at[lm_tgt].set(d_avg, mode="drop")
     state = state._replace(
-        ln_ep=state.ln_ep.at[lslot].set(ep_w, mode="drop"),
-        ln_dir=state.ln_dir.at[lslot].set(dir_w, mode="drop"),
+        ln_ep=ln_ep2.at[lslot].set(ep_w, mode="drop"),
+        ln_dir=ln_dir2.at[lslot].set(dir_w, mode="drop"),
         ln_desc=state.ln_desc.at[lslot].set(feats.lines.desc, mode="drop"),
         ln_valid=state.ln_valid.at[lslot].set(True, mode="drop"),
         ln_obs_count=ln_obs.at[lslot].set(1, mode="drop"),
@@ -930,6 +991,10 @@ def triangulate_with_kf(state: MapState, kf_a, kf_b, K4,
         pt_pos=state.pt_pos.at[slot].set(X, mode="drop"),
         pt_normal=state.pt_normal.at[slot].set(view, mode="drop"),
         pt_desc=state.pt_desc.at[slot].set(state.kf_desc[kf_a], mode="drop"),
+        pt_desc_ring=state.pt_desc_ring.at[slot].set(
+            jnp.broadcast_to(state.kf_desc[kf_a][:, None, :],
+                             (K, state.pt_desc_ring.shape[1], 8)),
+            mode="drop"),
         pt_angle=state.pt_angle.at[slot].set(state.kf_angle[kf_a],
                                              mode="drop"),
         pt_valid=state.pt_valid.at[slot].set(True, mode="drop"),

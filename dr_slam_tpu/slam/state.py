@@ -35,6 +35,10 @@ class MapState(NamedTuple):
     pt_pos: jnp.ndarray        # (NP, 3) world
     pt_normal: jnp.ndarray     # (NP, 3) mean viewing direction
     pt_desc: jnp.ndarray       # (NP, 8) uint32 distinctive descriptor
+    pt_desc_ring: jnp.ndarray  # (NP, R, 8) uint32 recent observation ring;
+                               #   pt_desc = ring entry with least median
+                               #   Hamming distance to the others
+                               #   (MapPoint::ComputeDistinctiveDescriptors)
     pt_valid: jnp.ndarray      # (NP,) bool
     pt_visible: jnp.ndarray    # (NP,) int32 -- times predicted visible
     pt_found: jnp.ndarray      # (NP,) int32 -- times actually matched
@@ -103,7 +107,9 @@ def make_empty_state(cfg: SlamConfig) -> MapState:
     z = jnp.zeros
     return MapState(
         pt_pos=z((NP, 3)), pt_normal=z((NP, 3)),
-        pt_desc=z((NP, 8), jnp.uint32), pt_valid=z(NP, bool),
+        pt_desc=z((NP, 8), jnp.uint32),
+        pt_desc_ring=z((NP, m.desc_ring, 8), jnp.uint32),
+        pt_valid=z(NP, bool),
         pt_visible=z(NP, jnp.int32), pt_found=z(NP, jnp.int32),
         pt_obs_count=z(NP, jnp.int32), pt_first_kf=z(NP, jnp.int32),
         pt_angle=z(NP),

@@ -99,12 +99,22 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
         width=cam.width, height=cam.height, kp_angle=feats.kp.angle)
     mp_idx = pm.mp_idx
     if tr.use_ref_kf_anchor:
+        # BoW-word-bucketed SearchByBoW (ORBmatcher.cc:160): same-word
+        # restriction is what makes a pose-free descriptor match safe on
+        # repetitive texture (TrackReferenceKeyFrame, Tracking.cc:2304)
+        from dr_slam_tpu.associate.vocabulary import word_ids
+        kpw = word_ids(feats.kp.desc, cfg.map.vocab_words)
+        kfw = word_ids(state.kf_desc[ref_kf], cfg.map.vocab_words)
         ref = map_ops.match_reference_kf(state, ref_kf, feats.kp.desc,
-                                         feats.kp.valid)
-        mp_idx = jnp.where(ref.mp_idx >= 0, ref.mp_idx, mp_idx)
-        # prediction-free rescue when motion matching collapses
-        use_ref_pose = pm.n_matches < 20
-        T_pred = jnp.where(use_ref_pose, T_last, T_pred)
+                                         feats.kp.valid,
+                                         kp_word=kpw, kf_word=kfw)
+        # strict FALLBACK, not a blend (Tracking.cc:370-375): pose-free
+        # descriptor matches only replace the motion-model associations
+        # when projection matching has collapsed -- otherwise they can
+        # override geometrically-gated matches with aliased ones
+        use_ref = pm.n_matches < 20
+        mp_idx = jnp.where(use_ref & (ref.mp_idx >= 0), ref.mp_idx, mp_idx)
+        T_pred = jnp.where(use_ref, T_last, T_pred)
 
     plane_m = map_ops.match_planes(
         state, feats.planes.coeffs, feats.planes.valid, T_pred,

@@ -25,6 +25,7 @@ the state machine."""
 from __future__ import annotations
 
 import enum
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -505,15 +506,32 @@ class Tracker:
         order = keyframe_db.group_candidates(
             scores, common, np.asarray(_covis_full(st)),
             np.asarray(st.kf_valid, dtype=bool))[:5]
-        if not order:  # degenerate BoW (e.g. near-empty frame): score order
-            order = [int(k) for k in np.argsort(-scores)[:3]]
+        # UNION with the raw-score top-3: group accumulation favors densely
+        # covisible OLD regions; when the vocabulary is weakly discriminative
+        # (scores near-uniform) the accumulated ranking can exclude the
+        # actually-nearby keyframe that raw L1 score ranks first. Geometric
+        # verification below is the arbiter either way; candidates are cheap.
+        for k in np.argsort(-scores)[:3]:
+            if int(k) not in order and scores[int(k)] > 0:
+                order.append(int(k))
+        _dbg = bool(os.environ.get("DRSLAM_RELOC_DEBUG"))
+        if _dbg:
+            print(f"[reloc] order={order} "
+                  f"scores={[round(float(scores[k]), 3) for k in order]}",
+                  flush=True)
 
         for kf_id in order:
             if float(scores[kf_id]) <= 0:
                 continue
-            ref = map_ops.match_reference_kf(st, jnp.asarray(int(kf_id)),
-                                             feats.kp.desc, feats.kp.valid,
-                                             max_hamming=map_ops.TH_HIGH)
+            from dr_slam_tpu.associate.vocabulary import word_ids
+            ref = map_ops.match_reference_kf(
+                st, jnp.asarray(int(kf_id)), feats.kp.desc, feats.kp.valid,
+                max_hamming=map_ops.TH_HIGH,
+                kp_word=word_ids(feats.kp.desc, cfg.map.vocab_words),
+                kf_word=word_ids(st.kf_desc[int(kf_id)],
+                                 cfg.map.vocab_words))
+            if _dbg:
+                print(f"[reloc]  kf={int(kf_id)} n_matches={int(ref.n_matches)}", flush=True)
             if int(ref.n_matches) < 15:
                 continue
             ok3d = ref.mp_idx >= 0
@@ -532,6 +550,8 @@ class Tracker:
             else:  # mono fallback (depth holes): EPnP-style 2D-3D RANSAC
                 T0, n_in = pnp_ransac(pts3d, feats.kp.uv, ok3d,
                                       cfg.camera.K4)
+            if _dbg:
+                print(f"[reloc]  kf={int(kf_id)} ransac_inl={int(n_in)}", flush=True)
             if int(n_in) < 10:
                 continue
             pm = map_ops.match_planes(st, feats.planes.coeffs,
@@ -568,6 +588,8 @@ class Tracker:
                 cfg.camera.K4, radius=6.0, max_hamming=map_ops.TH_LOW + 10.0,
                 width=cfg.camera.width, height=cfg.camera.height,
                 kp_angle=feats.kp.angle)
+            if _dbg:
+                print(f"[reloc]  kf={int(kf_id)} opt_inl={int(opt.n_inliers)} verify={int(verify.n_matches)}", flush=True)
             if int(opt.n_inliers) >= 30 and int(verify.n_matches) >= 60:
                 self.T_cw = opt.T_cw
                 self.velocity = jnp.eye(4)

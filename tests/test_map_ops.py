@@ -74,3 +74,97 @@ def test_match_reference_kf_ignores_culled_points():
     res = map_ops.match_reference_kf(st, jnp.asarray(0), kp_desc, kp_valid)
     assert int(res.n_matches) == 0
     assert int(jnp.max(res.mp_idx)) == -1
+
+
+def _feats_for_kf(cfg, kp_desc0, kp_valid0=True, line=None):
+    """Minimal FrameFeatures: one keypoint (desc kp_desc0, valid depth) and
+    optionally one observed line (ep3d camera-frame, 6)."""
+    from dr_slam_tpu.frontend.frame import FrameFeatures
+    from dr_slam_tpu.ops.lines import LineFeatures
+    from dr_slam_tpu.ops.orb import Keypoints
+    from dr_slam_tpu.ops.planes import PlaneSegmentation
+
+    K = cfg.orb.max_keypoints
+    L = cfg.line.max_lines
+    P = cfg.plane.max_planes
+    Q = cfg.plane.cloud_points
+    z = jnp.zeros
+    kp = Keypoints(
+        uv=z((K, 2)).at[0].set(jnp.asarray([32.0, 24.0])),
+        response=z(K), angle=z(K), octave=z(K, jnp.int32),
+        valid=z(K, bool).at[0].set(kp_valid0),
+        desc=z((K, 8), jnp.uint32).at[0].set(kp_desc0),
+        sigma2=jnp.ones(K))
+    lf = LineFeatures(
+        seg2d=z((L, 4)), lineq=z((L, 3)).at[:, 2].set(1.0),
+        desc=z((L, 8), jnp.uint32),
+        dir3d=z((L, 3)).at[:, 0].set(1.0), ep3d=z((L, 6)),
+        has3d=z(L, bool), valid=z(L, bool), response=z(L))
+    if line is not None:
+        ep3d, dir3d = line
+        lf = lf._replace(ep3d=lf.ep3d.at[0].set(jnp.asarray(ep3d)),
+                         dir3d=lf.dir3d.at[0].set(jnp.asarray(dir3d)),
+                         has3d=lf.has3d.at[0].set(True),
+                         valid=lf.valid.at[0].set(True))
+    seg = PlaneSegmentation(
+        coeffs=z((P, 4)).at[:, 2].set(1.0), valid=z(P, bool),
+        n_blocks=z(P, jnp.int32), cloud=z((P, Q, 3)),
+        cloud_valid=z((P, Q), bool), mse=z(P),
+        block_label=jnp.full((6, 8), -1, jnp.int32))
+    return FrameFeatures(
+        kp=kp, kp_depth=z(K).at[0].set(2.0),
+        kp_ur=jnp.full((K,), -1.0), kp_xyz=z((K, 3)).at[0, 2].set(2.0),
+        normals=z((12, 3)), normals_valid=z(12, bool),
+        planes=seg, lines=lf)
+
+
+def _insert_kf(st, cfg, feats, mp_idx0=-1, lm_idx0=-1):
+    K = cfg.orb.max_keypoints
+    L = cfg.line.max_lines
+    P = cfg.plane.max_planes
+    mp_idx = jnp.full((K,), -1, jnp.int32).at[0].set(mp_idx0)
+    lm_idx = jnp.full((L,), -1, jnp.int32).at[0].set(lm_idx0)
+    pm = map_ops.PlaneMatches(
+        match_idx=jnp.full((P,), -1, jnp.int32),
+        par_idx=jnp.full((P,), -1, jnp.int32),
+        ver_idx=jnp.full((P,), -1, jnp.int32),
+        obs_world=jnp.zeros((P, 4)).at[:, 2].set(1.0))
+    bow = jnp.zeros(cfg.map.vocab_words)
+    return map_ops.add_keyframe(st, feats, jnp.eye(4), 0.0, mp_idx, pm,
+                                lm_idx, bow, cfg)
+
+
+def test_distinctive_descriptor_resists_outlier_view():
+    """MapPoint::ComputeDistinctiveDescriptors: after several consistent
+    observations, ONE outlier view must not hijack the representative
+    descriptor (the old behavior overwrote with the latest view)."""
+    cfg = tiny_cfg()
+    desc_a = jnp.full((8,), 0x0F0F0F0F, jnp.uint32)       # majority
+    desc_b = jnp.full((8,), 0xF0F0F0F0, jnp.uint32)       # outlier (128 bits)
+    st = make_empty_state(cfg)
+    st, _ = _insert_kf(st, cfg, _feats_for_kf(cfg, desc_a))   # creates point
+    pt = int(jnp.argmax(st.pt_valid))
+    st, _ = _insert_kf(st, cfg, _feats_for_kf(cfg, desc_a), mp_idx0=pt)
+    st, _ = _insert_kf(st, cfg, _feats_for_kf(cfg, desc_b), mp_idx0=pt)
+    assert np.array_equal(np.asarray(st.pt_desc[pt]), np.asarray(desc_a))
+
+
+def test_line_refresh_extends_and_averages():
+    """MapLine::UpdateAverageDir: a re-observed line's endpoints extend to
+    the union extent along the averaged direction."""
+    cfg = tiny_cfg()
+    st = make_empty_state(cfg)
+    d = jnp.zeros((8,), jnp.uint32)
+    # create a line along +x from (0,0,2) to (1,0,2)
+    st, _ = _insert_kf(st, cfg, _feats_for_kf(
+        cfg, d, line=([0, 0, 2, 1, 0, 2], [1, 0, 0])))
+    ln = int(jnp.argmax(st.ln_valid))
+    # re-observe extended segment (0.5..2.0), flipped direction
+    st, _ = _insert_kf(st, cfg, _feats_for_kf(
+        cfg, d, line=([2.0, 0, 2, 0.5, 0, 2], [-1, 0, 0])), lm_idx0=ln)
+    ep = np.asarray(st.ln_ep[ln])
+    xs = sorted([ep[0], ep[3]])
+    assert abs(xs[0] - 0.0) < 1e-5 and abs(xs[1] - 2.0) < 1e-5, ep
+    # direction stayed sign-consistent with the original
+    assert float(st.ln_dir[ln, 0]) > 0.99, np.asarray(st.ln_dir[ln])
+    assert int(st.ln_obs_count[ln]) == 2

@@ -122,3 +122,36 @@ def test_translation_only_mode_tracks():
                       for _, T in sysm.tracker.trajectory])
     gt = np.asarray([np.linalg.inv(p)[:3, 3] for p in seq.poses_cw])
     assert ate_rmse(est, gt) < 0.05
+
+
+def test_ref_kf_rescue_on_motion_model_collapse():
+    """TrackReferenceKeyFrame fallback (Tracking.cc:370-375): when the
+    velocity model mispredicts wildly, the BoW-word-bucketed reference-KF
+    match must recover the frame instead of going LOST."""
+    import jax.numpy as jnp
+
+    from dr_slam_tpu.slam.system import System
+
+    cfg = small_cfg()
+    assert cfg.tracking.use_ref_kf_anchor  # the fallback under test is live
+    n = 14
+    seq = synthetic.SyntheticSequence(
+        synthetic.corridor_trajectory(n, step=0.03), K4=cfg.camera.K4,
+        height=240, width=320)
+    sysm = System(cfg, enable_loop_closing=False)
+    for i in range(n - 1):
+        gray, depth = seq.render(i)
+        r = sysm.track_rgbd(gray, depth, i / 30.0)
+    # inject a motion-model collapse: a huge bogus velocity makes the
+    # constant-velocity prediction project the map far outside the image
+    bad = np.eye(4)
+    bad[:3, 3] = (5.0, 5.0, 5.0)
+    sysm.tracker.velocity = jnp.asarray(bad)
+    gray, depth = seq.render(n - 1)
+    r = sysm.track_rgbd(gray, depth, (n - 1) / 30.0)
+    assert r.state.name == "OK", r
+    # and the recovered pose is right: ground truth expressed in the
+    # tracker's world frame (= camera frame of the first frame)
+    T_gt = seq.poses_cw[n - 1] @ np.linalg.inv(seq.poses_cw[0])
+    err = np.linalg.norm(np.asarray(r.T_cw)[:3, 3] - T_gt[:3, 3])
+    assert err < 0.05, err
