@@ -904,7 +904,11 @@ def triangulate_with_kf(state: MapState, kf_a, kf_b, K4,
         no_depth = (state.kf_ur[kf] < 0) | (state.kf_xyz[kf, :, 2] >= 8.0)
         return state.kf_kp_valid[kf] & (state.kf_mp[kf] < 0) & no_depth
 
-    free_a = _free(kf_a)
+    # degenerate pair guard (kf_a == kf_b: first keyframe after init or a
+    # recycled slot) handled IN-jit so the caller never pays a host readback
+    # of the device keyframe id just to compare it
+    distinct = jnp.asarray(kf_a) != jnp.asarray(kf_b)
+    free_a = _free(kf_a) & distinct
     free_b = _free(kf_b)
 
     ham = hamming_matrix(state.kf_desc[kf_a], state.kf_desc[kf_b])

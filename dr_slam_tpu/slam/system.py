@@ -106,6 +106,8 @@ class System:
             import jax.numpy as jnp
             tr = self.tracker
             tr.map_state = new_state
+            tr._map_gen += 1    # pending frames predate the correction --
+            tr._hard_gen += 1   # destructive: drop them outright
             # the correction moved the current keyframe (= current pose):
             # re-seat the tracker on the corrected pose (CorrectLoop adjusts
             # mpCurrentKF and propagates, LoopClosing.cc:448+)
@@ -184,8 +186,11 @@ class System:
 
     def load_map(self, path: str):
         from dr_slam_tpu.io.map_io import load_map
-        self.tracker._pending = None  # drop any deferred frame of the old map
+        self.tracker._pending.clear()  # drop deferred frames of the old map
         self.tracker.map_state = load_map(path, self.cfg)
+        self.tracker._map_gen += 1
+        self.tracker._hard_gen += 1
+        self.tracker._n_kfs_host = int(self.tracker.map_state.n_kfs)
         self.tracker.state = TrackState.LOST  # relocalize into the map
 
     def shutdown(self, save_dir: Optional[str] = None):

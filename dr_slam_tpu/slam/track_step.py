@@ -50,6 +50,11 @@ class TrackStepOut(NamedTuple):
     plane_par: jnp.ndarray     # (P,)
     plane_ver: jnp.ndarray     # (P,)
     line_match: jnp.ndarray    # (L,)
+    visible: jnp.ndarray       # (NP,) map points in-frustum this frame --
+                               # lets a deferred resolver RE-APPLY the
+                               # visibility statistics onto a map state
+                               # mutated since dispatch (new_map_state is
+                               # the whole pytree and would clobber it)
     new_map_state: MapState    # with updated visibility statistics
 
 
@@ -207,4 +212,5 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
         velocity=velocity_new, bundle=bundle,
         mp_idx=mp_idx2, plane_match=plane_m2.match_idx,
         plane_par=plane_m2.par_idx, plane_ver=plane_m2.ver_idx,
-        line_match=line_m.ml_idx, new_map_state=new_state)
+        line_match=line_m.ml_idx, visible=pm2.visible,
+        new_map_state=new_state)

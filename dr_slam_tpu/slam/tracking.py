@@ -24,6 +24,7 @@ the state machine."""
 
 from __future__ import annotations
 
+import collections
 import enum
 import os
 from dataclasses import dataclass, field
@@ -47,6 +48,18 @@ class TrackState(enum.Enum):
     NOT_INITIALIZED = 1
     OK = 2
     LOST = 3
+
+
+@jax.jit
+def _kf_scalar_bundle(state: MapState, kf_id, prev_kf) -> jnp.ndarray:
+    """(34,) f32: [kf_id, n_kfs, T_kf(16), T_prev(16)] -- every host-side
+    bookkeeping value of a keyframe insertion in ONE device array, so the
+    host pays ONE blocking round-trip instead of ~10."""
+    return jnp.concatenate([
+        jnp.stack([kf_id.astype(jnp.float32),
+                   state.n_kfs.astype(jnp.float32)]),
+        state.kf_pose[kf_id].reshape(-1),
+        state.kf_pose[prev_kf].reshape(-1)])
 
 
 @dataclass
@@ -90,12 +103,32 @@ class Tracker:
     # "measurement" and make the essential graph blind to it.
     kf_odom_host: dict = field(default_factory=dict)  # seq -> (prev_seq, 4x4)
     _seq_counter: int = 0
-    # deferred-readback bookkeeping (one-frame-lag state machine)
-    _pending: object = None
+    # deferred-readback bookkeeping (bounded-lag state machine)
+    _pending: object = field(default_factory=collections.deque)
     _last_inliers: int = 0
     _last_matches: int = 0
     _last_man_ok: bool = False
     _reloc_failures: int = 0
+    _n_kfs_host: int = 0        # host mirror of map_state.n_kfs (refreshed
+                                #   from the packed keyframe readback; avoids
+                                #   a blocking device read per KF decision)
+    _map_gen: int = 0           # bumped on EVERY map mutation (KF insertion,
+                                #   reloc, reset, loop correction): a deferred
+                                #   frame dispatched against an older
+                                #   generation must NOT write its
+                                #   new_map_state back -- it would silently
+                                #   clobber the mutation
+    _hard_gen: int = 0          # bumped only on DESTRUCTIVE mutations (reloc,
+                                #   reset, map load, loop correction). A
+                                #   pending frame stale only in _map_gen was
+                                #   merely overtaken by an additive keyframe
+                                #   insertion: its pose and match indices are
+                                #   still meaningful, so it still drives the
+                                #   keyframe decision (otherwise every
+                                #   insertion shadows the next 1-2 frames and
+                                #   the KF cadence collapses); a frame stale
+                                #   in _hard_gen is gauge-poisoned and is
+                                #   dropped entirely
     _ref_kf_cache: object = None
     kf_inserted_event: bool = False   # set by _maybe_insert_keyframe; the
                                       # System consumes it to trigger loop
@@ -122,7 +155,7 @@ class Tracker:
             # scalar bundle (its device work has completed by now), then
             # dispatch this frame's fused extract+track program without any
             # blocking host round-trip.
-            self._resolve_pending()
+            self._resolve_pending(force=False)
             if self.state == TrackState.LOST:
                 res = self._relocalize(extract_frame(gray, depth, cfg),
                                        timestamp)
@@ -244,6 +277,7 @@ class Tracker:
         self.state = TrackState.OK
         self.last_kf_frame = self.frame_id
         self.ref_kf = int(kf_id)
+        self._n_kfs_host = 1
         self.kf_log.append((ts, np.eye(4)))
         self.kf_pose_host[int(kf_id)] = np.eye(4)
         self.kf_seq_host[int(kf_id)] = self._seq_counter
@@ -304,7 +338,7 @@ class Tracker:
         need_kf = (not self.only_tracking
                    and (frames_since >= cfg.tracking.min_frames
                         or n_inliers < 0.5 * max(self.last_kf_inliers, 100)))
-        if not need_kf or int(self.map_state.n_kfs) >= cfg.map.max_keyframes - 1:
+        if not need_kf or self._n_kfs_host >= cfg.map.max_keyframes - 1:
             return False
         T_cur = out.T_cw
         bow = compute_bow(feats.kp.desc, feats.kp.valid, cfg.map.vocab_words)
@@ -330,7 +364,11 @@ class Tracker:
         # (CreateNewMapPoints, :309), merge duplicate landmarks
         # (SearchInNeighbors/Fuse, :1039), then cull one redundant
         # keyframe (KeyFrameCulling, :1226) after BA.
-        if cfg.tracking.run_triangulation and prev_kf != int(kf_id):
+        if cfg.tracking.run_triangulation:
+            # kf_id stays a DEVICE scalar through the whole LocalMapping
+            # pass; the kf_a == kf_b degenerate pair is masked inside the
+            # jit (one blocked host round-trip here used to cost a full
+            # tunnel RPC on remote-TPU runtimes)
             self.map_state = map_ops.triangulate_with_kf(
                 self.map_state, kf_id, jnp.asarray(prev_kf), cfg.camera.K4)
         if cfg.tracking.run_fuse_on_keyframe:
@@ -340,8 +378,8 @@ class Tracker:
         # (capability of Local/GlobalBundleAdjustment; the reference
         # disables local BA, LocalMapping.cc:67-69 -- cheap on TPU)
         if cfg.tracking.run_ba_on_keyframe:
-            self._map_ba(center_kf=int(kf_id))
-            T_cur = self.map_state.kf_pose[int(kf_id)]
+            self._map_ba(center_kf=kf_id)
+            T_cur = self.map_state.kf_pose[kf_id]
             self.T_cw = T_cur
             # NOTE: the velocity (frame-to-frame relative motion) is KEPT
             # across the BA correction -- resetting it to identity made the
@@ -352,19 +390,30 @@ class Tracker:
             self.map_state = map_ops.cull_one_keyframe(self.map_state)
         self.last_kf_frame = frame_id
         self.last_kf_inliers = n_inliers
-        self.ref_kf = int(kf_id)
-        T_kf = np.asarray(T_cur)
+        # ONE packed scalar readback for every host-side bookkeeping value
+        # (slot id, live kf count, new + previous keyframe poses): each
+        # separate int()/np.asarray() costs a full blocking round-trip on
+        # tunneled TPU runtimes (~20-50 ms), and this path used to pay ~10
+        # of them -- the dominant cost of a keyframe frame (650 ms -> ~1
+        # round-trip)
+        b = np.asarray(_kf_scalar_bundle(self.map_state, kf_id,
+                                         jnp.asarray(prev_kf)))
+        kf_i = int(b[0])
+        self._n_kfs_host = int(b[1])
+        T_kf = b[2:18].reshape(4, 4).astype(np.float64)
+        T_prev = b[18:34].reshape(4, 4).astype(np.float64)
+        self.ref_kf = kf_i
         self.kf_log.append((ts, T_kf))
-        self.kf_pose_host[int(kf_id)] = T_kf
-        self.kf_seq_host[int(kf_id)] = self._seq_counter
+        self.kf_pose_host[kf_i] = T_kf
+        self.kf_seq_host[kf_i] = self._seq_counter
         # odometry edge vs the previous reference keyframe's CURRENT
         # estimate (post-BA, so the pair is locally consistent)
         prev_seq = self.kf_seq_host.get(prev_kf)
-        if prev_seq is not None and prev_kf != int(kf_id):
-            T_prev = np.asarray(self.map_state.kf_pose[prev_kf])
+        if prev_seq is not None and prev_kf != kf_i:
             self.kf_odom_host[self._seq_counter] = (
                 prev_seq, T_kf @ np.linalg.inv(T_prev))
         self._seq_counter += 1
+        self._map_gen += 1
         self.kf_inserted_event = True
         return True
 
@@ -405,20 +454,60 @@ class Tracker:
         self.velocity = out.velocity
         self.T_cw = out.T_cw
         self.R_cm = out.R_cm
-        self._pending = (ts, feats, out, T_prev, R_cm_prev, self.frame_id,
-                         self.only_tracking)
+        # start the scalar-bundle D2H NOW: on tunneled runtimes a blocking
+        # device->host readback costs ~200 ms (transport round-trip +
+        # serialization), while an async copy overlaps the next frame's
+        # extract+track and lands before _resolve_pending touches it
+        # (measured: sync 227 ms -> async-lagged 19 ms per frame)
+        try:
+            out.bundle.copy_to_host_async()
+        except AttributeError:
+            pass  # non-jax array (tests with numpy stubs)
+        self._pending.append((ts, feats, out, T_prev, R_cm_prev,
+                              self.frame_id, self.only_tracking,
+                              self._map_gen, self._hard_gen))
         return TrackingResult(out.T_cw, self.state, self._last_inliers,
                               self._last_matches, self._last_man_ok,
                               False, ts)
 
     # ------------------------------------------------------------------
-    def _resolve_pending(self):
-        """Apply the deferred frame's LOST / map-statistics / keyframe
-        decisions from its (now complete) scalar bundle."""
-        if self._pending is None:
+    def _resolve_pending(self, force: bool = True):
+        """Apply deferred frames' LOST / map-statistics / keyframe decisions
+        from their (now complete) scalar bundles, oldest first.
+
+        With force=False, only bundles that have already LANDED on the host
+        (jax.Array.is_ready) are resolved -- an unpaced caller (benchmark
+        tight loop, burst ingest) never blocks on an in-flight D2H, which on
+        tunneled runtimes both stalls ~20 ms AND degrades the transport for
+        the rest of the process. The queue is bounded (2): beyond that the
+        oldest is resolved blocking, so state-machine lag stays <= 2 frames.
+        force=True (flush / frame boundaries with slack) drains everything."""
+        while self._pending:
+            entry = self._pending[0]
+            out = entry[2]
+            if not force and len(self._pending) <= 1:
+                try:
+                    if not out.bundle.is_ready():
+                        return
+                except AttributeError:
+                    pass
+            self._pending.popleft()
+            self._resolve_one(entry)
+            if self.state == TrackState.LOST:
+                # the remaining speculative frames were dispatched off the
+                # rejected pose -- their results are gauge-poisoned; drop
+                # them (their map updates never apply)
+                self._pending.clear()
+                return
+
+    def _resolve_one(self, entry):
+        (ts, feats, out, T_prev, R_cm_prev, frame_id, was_loc,
+         gen, hard) = entry
+        if hard != self._hard_gen:
+            # dispatched before a destructive mutation (reloc / reset /
+            # map load / loop correction): pose, matches and statistics
+            # are all gauge-poisoned -- drop without touching anything
             return
-        ts, feats, out, T_prev, R_cm_prev, frame_id, was_loc = self._pending
-        self._pending = None
         b = np.asarray(out.bundle)
         n_inliers = int(b[16])
         n_matches = int(b[17])
@@ -444,7 +533,16 @@ class Tracker:
                                  matches=n_matches)
             return
         if not (self.only_tracking or was_loc):
-            self.map_state = out.new_map_state
+            if gen == self._map_gen:
+                self.map_state = out.new_map_state
+            else:
+                # the map mutated (keyframe insertion) since this frame was
+                # dispatched: the full new_map_state pytree would clobber
+                # the mutation, so RE-APPLY the visibility statistics onto
+                # the current state (a tiny scatter; only the 1-2 frames
+                # after an insertion pay it)
+                self.map_state = map_ops.update_point_stats(
+                    self.map_state, out.visible, out.mp_idx)
             self._maybe_insert_keyframe(feats, out, ts, frame_id, n_inliers)
 
     # ------------------------------------------------------------------
@@ -463,7 +561,7 @@ class Tracker:
         ws = cfg.tracking.use_struct_in_ba
         if cfg.tracking.use_local_ba and center_kf is not None:
             prob, win = local_problem_from_state(
-                self.map_state, jnp.asarray(int(center_kf)),
+                self.map_state, jnp.asarray(center_kf),
                 window=cfg.tracking.local_ba_window, with_struct=ws)
             out = bundle_adjust(prob, cfg.camera.K4,
                                 n_gn_iters=4, n_cg_iters=24)
@@ -595,6 +693,8 @@ class Tracker:
                 self.velocity = jnp.eye(4)
                 self.state = TrackState.OK
                 self._reloc_failures = 0
+                self._map_gen += 1
+                self._hard_gen += 1
                 self.ref_kf = int(kf_id)
                 if self.ref_kf not in self.kf_pose_host:
                     # relocalizing into a loaded map: cache the ref pose +
@@ -616,13 +716,15 @@ class Tracker:
         # instead of relocalizing forever against a map not worth keeping
         self._reloc_failures += 1
         if (not self.only_tracking and self._reloc_failures >= 3
-                and int(self.map_state.n_kfs) <= 5
-                and int(self.map_state.kf_next_seq) <= 5):
+                and self._n_kfs_host <= 5 and self._seq_counter <= 5):
             if self.metrics is not None:
                 self.metrics.log("map_reset", frame=self.frame_id)
             self.map_state = make_empty_state(self.cfg)
             self.state = TrackState.NOT_INITIALIZED
             self._reloc_failures = 0
+            self._n_kfs_host = 0
+            self._map_gen += 1
+            self._hard_gen += 1
             self.kf_pose_host.clear()
             self.kf_seq_host.clear()
             self.kf_odom_host.clear()
