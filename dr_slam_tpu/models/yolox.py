@@ -68,16 +68,20 @@ def init_params(depth_mul: float = 0.33, width_mul: float = 0.50,
     p["down3"] = _conv_params(rng, ws[2], ws[3], 3)
     csp("csp3", ws[3], ws[3], ds[2])
     p["down4"] = _conv_params(rng, ws[3], ws[4], 3)
+    # SPP bottleneck (official CSPDarknet dark5: Conv -> SPPBottleneck ->
+    # CSPLayer) -- 1x1 squeeze, parallel 5/9/13 max-pools, 1x1 expand
+    p["spp.pre"] = _conv_params(rng, ws[4], ws[4] // 2, 1)
+    p["spp.post"] = _conv_params(rng, (ws[4] // 2) * 4, ws[4], 1)
     csp("csp4", ws[4], ws[4], ds[3])
-    # PAFPN lateral/merge convs
+    # PAFPN lateral/merge convs (official YOLOPAFPN: CSP depth = round(3*d))
     p["lat2"] = _conv_params(rng, ws[4], ws[3], 1)
-    csp("fpn2", ws[3] * 2, ws[3], 1)
+    csp("fpn2", ws[3] * 2, ws[3], ds[3])
     p["lat1"] = _conv_params(rng, ws[3], ws[2], 1)
-    csp("fpn1", ws[2] * 2, ws[2], 1)
+    csp("fpn1", ws[2] * 2, ws[2], ds[3])
     p["pan1"] = _conv_params(rng, ws[2], ws[2], 3)
-    csp("pan1c", ws[2] * 2, ws[3], 1)
+    csp("pan1c", ws[2] * 2, ws[3], ds[3])
     p["pan2"] = _conv_params(rng, ws[3], ws[3], 3)
-    csp("pan2c", ws[3] * 2, ws[4], 1)
+    csp("pan2c", ws[3] * 2, ws[4], ds[3])
     # decoupled heads per level
     for lvl, c in enumerate([ws[2], ws[3], ws[4]]):
         p[f"head{lvl}.stem"] = _conv_params(rng, c, ws[2], 1)
@@ -106,14 +110,27 @@ def _conv(x, prm, stride=1):
     return jax.nn.silu(y + jnp.asarray(prm["b"]))
 
 
-def _csp(x, p, name, n):
+def _csp(x, p, name, n, shortcut=True):
+    """CSPLayer: official backbone dark2-4 use residual bottlenecks
+    (shortcut=True); dark5 and every PAFPN merge use shortcut=False."""
     a = _conv(x, p[name + ".main"])
     b = _conv(x, p[name + ".short"])
     for i in range(n):
         h = _conv(a, p[f"{name}.b{i}.1"])
         h = _conv(h, p[f"{name}.b{i}.2"])
-        a = a + h
+        a = a + h if shortcut else h
     return _conv(jnp.concatenate([a, b], -1), p[name + ".final"])
+
+
+def _spp(x, p):
+    """SPPBottleneck (official CSPDarknet dark5): 1x1 squeeze, identity +
+    5/9/13 SAME max-pools concatenated, 1x1 expand."""
+    h = _conv(x, p["spp.pre"])
+    pools = [h]
+    for k in (5, 9, 13):
+        pools.append(jax.lax.reduce_window(
+            h, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1), "SAME"))
+    return _conv(jnp.concatenate(pools, -1), p["spp.post"])
 
 
 def _upsample(x):
@@ -135,17 +152,21 @@ def _forward(p, img):
     x = _conv(c3, p["down3"], 2)
     c4 = _csp(x, p, "csp3", ds[2])          # stride 16
     x = _conv(c4, p["down4"], 2)
-    c5 = _csp(x, p, "csp4", ds[3])          # stride 32
+    x = _spp(x, p)
+    c5 = _csp(x, p, "csp4", ds[3], shortcut=False)   # stride 32
 
-    # PAFPN
+    # PAFPN (all merge CSPs are shortcut=False, official YOLOPAFPN)
+    nf = ds[3]
     l5 = _conv(c5, p["lat2"])
-    f4 = _csp(jnp.concatenate([_upsample(l5), c4], -1), p, "fpn2", 1)
+    f4 = _csp(jnp.concatenate([_upsample(l5), c4], -1), p, "fpn2", nf,
+              shortcut=False)
     l4 = _conv(f4, p["lat1"])
-    f3 = _csp(jnp.concatenate([_upsample(l4), c3], -1), p, "fpn1", 1)
+    f3 = _csp(jnp.concatenate([_upsample(l4), c3], -1), p, "fpn1", nf,
+              shortcut=False)
     d3 = _conv(f3, p["pan1"], 2)
-    f4b = _csp(jnp.concatenate([d3, l4], -1), p, "pan1c", 1)
+    f4b = _csp(jnp.concatenate([d3, l4], -1), p, "pan1c", nf, shortcut=False)
     d4 = _conv(f4b, p["pan2"], 2)
-    f5 = _csp(jnp.concatenate([d4, l5], -1), p, "pan2c", 1)
+    f5 = _csp(jnp.concatenate([d4, l5], -1), p, "pan2c", nf, shortcut=False)
 
     outs = []
     for lvl, feat in enumerate([f3, f4b, f5]):

@@ -24,6 +24,15 @@ from dr_slam_tpu.io.trajectory import (save_keyframe_trajectory_tum,
 from dr_slam_tpu.slam.tracking import Tracker, TrackState
 
 
+def rotation_residual_deg(R_est: np.ndarray, R_gt: np.ndarray) -> float:
+    """Angular distance between two rotations in degrees:
+    2 cos(alpha) = trace(R_gt^T R_est) - 1 (the reference's MatrixResidual,
+    src/Tracking.cc:3773-3783, after 'Benchmarking 6DOF Outdoor Visual
+    Localization in Changing Conditions')."""
+    tr = float(np.trace(R_gt.T @ R_est))
+    return float(np.degrees(np.arccos(np.clip(0.5 * (tr - 1.0), -1.0, 1.0))))
+
+
 class System:
     """DR-SLAM-TPU system facade."""
 
@@ -68,16 +77,28 @@ class System:
                 pass
 
     # -- main API ----------------------------------------------------------
-    def track_rgbd(self, gray, depth, timestamp: float):
+    def track_rgbd(self, gray, depth, timestamp: float, gt_R=None):
         """Process one RGB-D frame; returns the TrackingResult (with T_cw).
 
         Reference: System::TrackRGBD (System.cc:284) -> Tracking::
         GrabImageRGBD (Tracking.cc:191). Color conversion/resizing is the
-        caller's job here; gray is (H, W) [0,255], depth (H, W) meters."""
+        caller's job here; gray is (H, W) [0,255], depth (H, W) meters.
+
+        gt_R: optional (3, 3) ground-truth world->camera rotation for
+        rotation-residual diagnostics (the reference's GroundTruth_R input,
+        Tracking.cc:191, scored by MatrixResidual, :3773-3783). When given,
+        the angular error of the estimated rotation is logged as
+        `rot_residual_deg` -- a diagnostic mode, so the host readback of the
+        pose it requires is acceptable here and only here."""
         if self.only_tracking:
             res = self.tracker.process_localization_only(gray, depth, timestamp)
         else:
             res = self.tracker.process_frame(gray, depth, timestamp)
+        if gt_R is not None:
+            res.rot_residual_deg = rotation_residual_deg(
+                np.asarray(res.T_cw)[:3, :3], np.asarray(gt_R))
+            self.metrics.log("rot_residual", frame=self.tracker.frame_id,
+                             deg=res.rot_residual_deg)
         if self.tracker.consume_kf_event():
             if self.detector is not None:
                 import jax.numpy as jnp
@@ -99,9 +120,11 @@ class System:
             self._loop_closer = LoopCloser(
                 self.cfg,
                 consistency_needed=self.cfg.tracking.loop_consistency)
-        new_state, corrected = self._loop_closer.process(
-            self.tracker.map_state, self.tracker.ref_kf,
-            odom=self.tracker.kf_odom_host)
+        from dr_slam_tpu.utils.profiling import PROFILER
+        with PROFILER.span("loop.process"):
+            new_state, corrected = self._loop_closer.process(
+                self.tracker.map_state, self.tracker.ref_kf,
+                odom=self.tracker.kf_odom_host)
         if corrected:
             import jax.numpy as jnp
             tr = self.tracker
@@ -200,4 +223,7 @@ class System:
             self.save_trajectory_tum(os.path.join(save_dir, "CameraTrajectory.txt"))
             self.save_keyframe_trajectory_tum(
                 os.path.join(save_dir, "KeyFrameTrajectory.txt"))
+            from dr_slam_tpu.utils.profiling import PROFILER
+            if PROFILER.enabled:
+                PROFILER.dump(os.path.join(save_dir, "stage_profile.json"))
         self.metrics.close()

@@ -42,6 +42,7 @@ from dr_slam_tpu.optimize.pose_opt import pose_optimize
 from dr_slam_tpu.slam import map_ops
 from dr_slam_tpu.slam.state import MapState, make_empty_state
 from dr_slam_tpu.slam.track_step import track_step
+from dr_slam_tpu.utils.profiling import PROFILER
 
 
 class TrackState(enum.Enum):
@@ -71,6 +72,8 @@ class TrackingResult:
     manhattan_ok: bool
     is_keyframe: bool
     timestamp: float
+    rot_residual_deg: float = None  # set when gt_R is fed to track_rgbd
+                                    # (reference MatrixResidual diagnostics)
 
 
 @dataclass
@@ -351,14 +354,16 @@ class Tracker:
             obs_world=jax.vmap(
                 lambda p: se3.plane_to_world(T_cur, p))(feats.planes.coeffs))
         prev_kf = self.ref_kf
-        self.map_state, kf_id = map_ops.add_keyframe(
-            self.map_state, feats, T_cur, ts, out.mp_idx, pm,
-            out.line_match, bow, cfg, blocked=blocked)
+        with PROFILER.span("kf.add"):
+            self.map_state, kf_id = map_ops.add_keyframe(
+                self.map_state, feats, T_cur, ts, out.mp_idx, pm,
+                out.line_match, bow, cfg, blocked=blocked)
         if cfg.tracking.run_cull_on_keyframe:
-            self.map_state = map_ops.cull_map(
-                self.map_state,
-                merge_angle_cos=cfg.plane.merge_angle_cos,
-                merge_dist=cfg.plane.merge_dist)
+            with PROFILER.span("kf.cull_map"):
+                self.map_state = map_ops.cull_map(
+                    self.map_state,
+                    merge_angle_cos=cfg.plane.merge_angle_cos,
+                    merge_dist=cfg.plane.merge_dist)
         # LocalMapping completion (reference LocalMapping.cc Run):
         # triangulate depth-less features against the previous keyframe
         # (CreateNewMapPoints, :309), merge duplicate landmarks
@@ -369,16 +374,20 @@ class Tracker:
             # pass; the kf_a == kf_b degenerate pair is masked inside the
             # jit (one blocked host round-trip here used to cost a full
             # tunnel RPC on remote-TPU runtimes)
-            self.map_state = map_ops.triangulate_with_kf(
-                self.map_state, kf_id, jnp.asarray(prev_kf), cfg.camera.K4)
+            with PROFILER.span("kf.triangulate"):
+                self.map_state = map_ops.triangulate_with_kf(
+                    self.map_state, kf_id, jnp.asarray(prev_kf),
+                    cfg.camera.K4)
         if cfg.tracking.run_fuse_on_keyframe:
-            self.map_state = map_ops.fuse_new_points(
-                self.map_state, kf_id, fuse_dist=cfg.tracking.fuse_dist)
+            with PROFILER.span("kf.fuse"):
+                self.map_state = map_ops.fuse_new_points(
+                    self.map_state, kf_id, fuse_dist=cfg.tracking.fuse_dist)
         # map refinement: on-device BA (reproj + depth) over the map
         # (capability of Local/GlobalBundleAdjustment; the reference
         # disables local BA, LocalMapping.cc:67-69 -- cheap on TPU)
         if cfg.tracking.run_ba_on_keyframe:
-            self._map_ba(center_kf=kf_id)
+            with PROFILER.span("kf.local_ba"):
+                self._map_ba(center_kf=kf_id)
             T_cur = self.map_state.kf_pose[kf_id]
             self.T_cw = T_cur
             # NOTE: the velocity (frame-to-frame relative motion) is KEPT
@@ -387,7 +396,8 @@ class Tracker:
             # rotation (17 px/frame image motion vs a 15 px search radius),
             # which cascaded into LOST on rotation-heavy trajectories.
         if cfg.tracking.run_kf_culling:
-            self.map_state = map_ops.cull_one_keyframe(self.map_state)
+            with PROFILER.span("kf.cull_keyframe"):
+                self.map_state = map_ops.cull_one_keyframe(self.map_state)
         self.last_kf_frame = frame_id
         self.last_kf_inliers = n_inliers
         # ONE packed scalar readback for every host-side bookkeeping value
@@ -396,8 +406,9 @@ class Tracker:
         # tunneled TPU runtimes (~20-50 ms), and this path used to pay ~10
         # of them -- the dominant cost of a keyframe frame (650 ms -> ~1
         # round-trip)
-        b = np.asarray(_kf_scalar_bundle(self.map_state, kf_id,
-                                         jnp.asarray(prev_kf)))
+        with PROFILER.span("kf.readback"):
+            b = np.asarray(_kf_scalar_bundle(self.map_state, kf_id,
+                                             jnp.asarray(prev_kf)))
         kf_i = int(b[0])
         self._n_kfs_host = int(b[1])
         T_kf = b[2:18].reshape(4, 4).astype(np.float64)
@@ -444,9 +455,15 @@ class Tracker:
         not the ~600 ms of six blocking round-trips (VERDICT round-1
         item 6)."""
         from dr_slam_tpu.slam.track_step import extract_and_track
-        feats, out = extract_and_track(
-            gray, depth, self.map_state, self.T_cw, self.velocity,
-            self.R_cm, self._ref_kf_dev(), self.cfg)
+        with PROFILER.span("track.dispatch"):
+            feats, out = extract_and_track(
+                gray, depth, self.map_state, self.T_cw, self.velocity,
+                self.R_cm, self._ref_kf_dev(), self.cfg)
+        if PROFILER.enabled:
+            # device time of the fused frame program (profiling mode only:
+            # the sync defeats the pipelined schedule by design)
+            with PROFILER.span("track.device", sync=out.bundle):
+                pass
         T_prev = self.T_cw
         R_cm_prev = self.R_cm
         # speculative advance (device futures, no readback, no eager math:
@@ -508,7 +525,8 @@ class Tracker:
             # map load / loop correction): pose, matches and statistics
             # are all gauge-poisoned -- drop without touching anything
             return
-        b = np.asarray(out.bundle)
+        with PROFILER.span("resolve.readback"):
+            b = np.asarray(out.bundle)
         n_inliers = int(b[16])
         n_matches = int(b[17])
         man_ok = bool(b[18] > 0.5)

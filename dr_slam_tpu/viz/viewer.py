@@ -63,6 +63,43 @@ class Viewer:
             cl = np.asarray(st.pl_cloud[i])[np.asarray(st.pl_cloud_valid[i])]
             if len(cl):
                 ax.scatter(cl[:, 0], cl[:, 2], -cl[:, 1], s=2, alpha=0.6)
+        # keyframe frusta (MapDrawer::DrawKeyFrames, src/MapDrawer.cc:278):
+        # a small camera pyramid at every alive keyframe pose
+        kf_valid = np.asarray(st.kf_valid)
+        kf_pose = np.asarray(st.kf_pose)
+        alive = np.where(kf_valid)[0]
+        w, h, z = 0.06, 0.045, 0.05   # frustum half-extents (metres)
+        corners = np.array([[0, 0, 0], [w, h, z], [-w, h, z],
+                            [-w, -h, z], [w, -h, z]])
+        edges = [(0, 1), (0, 2), (0, 3), (0, 4),
+                 (1, 2), (2, 3), (3, 4), (4, 1)]
+        centers = {}
+        for k in alive:
+            T_wc = np.linalg.inv(kf_pose[k])
+            cw = corners @ T_wc[:3, :3].T + T_wc[:3, 3]
+            centers[int(k)] = T_wc[:3, 3]
+            for a, b in edges:
+                ax.plot([cw[a, 0], cw[b, 0]], [cw[a, 2], cw[b, 2]],
+                        [-cw[a, 1], -cw[b, 1]], c="tab:purple", lw=0.7,
+                        alpha=0.8)
+        # covisibility graph (MapDrawer::DrawGraph, src/MapDrawer.cc:374):
+        # an edge between keyframes sharing >= `covis_min` map points
+        covis_min = 15
+        kf_mp = np.asarray(st.kf_mp)
+        drawn_graph = False
+        for ai, a in enumerate(alive):
+            sa = set(kf_mp[a][kf_mp[a] >= 0].tolist())
+            if not sa:
+                continue
+            for b in alive[ai + 1:]:
+                shared = sa.intersection(kf_mp[b][kf_mp[b] >= 0].tolist())
+                if len(shared) >= covis_min:
+                    pa, pb = centers[int(a)], centers[int(b)]
+                    ax.plot([pa[0], pb[0]], [pa[2], pb[2]],
+                            [-pa[1], -pb[1]], c="tab:green", lw=0.5,
+                            alpha=0.6,
+                            label=None if drawn_graph else "covisibility")
+                    drawn_graph = True
         traj = np.asarray([np.linalg.inv(T)[:3, 3]
                            for _, T in self.system.tracker.trajectory])
         if len(traj):

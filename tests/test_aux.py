@@ -219,3 +219,96 @@ def test_system_detector_hook():
     assert len(calls) >= 1                  # ran at the init keyframe
     assert calls[0] == (240, 320, 3)
     assert sysm.last_detections is not None
+
+
+def test_map_render_keyframe_frusta(tmp_path):
+    """MapDrawer capability: the 3D map render includes keyframe frusta and
+    covisibility-graph edges (src/MapDrawer.cc:278 DrawKeyFrames, :374
+    DrawGraph) on a map with >= 2 covisible keyframes."""
+    import dataclasses
+    import os
+    import numpy as np
+    from dr_slam_tpu.io import synthetic
+    from dr_slam_tpu.slam.system import System
+    from dr_slam_tpu.viz.viewer import Viewer
+    from tests.test_tracking_e2e import small_cfg
+
+    cfg0 = small_cfg()
+    cfg = cfg0.replace(
+        tracking=dataclasses.replace(cfg0.tracking, min_frames=2))
+    seq = synthetic.SyntheticSequence(
+        synthetic.corridor_trajectory(8), K4=cfg.camera.K4,
+        height=240, width=320)
+    sysm = System(cfg, enable_loop_closing=False)
+    for i in range(8):
+        gray, depth = seq.render(i)
+        sysm.track_rgbd(gray, depth, i / 30.0)
+    sysm.tracker.flush()
+    st = sysm.tracker.map_state
+    assert int(np.asarray(st.kf_valid).sum()) >= 2  # frusta have subjects
+    out = str(tmp_path / "map.png")
+    Viewer(sysm).render_map(out)
+    assert os.path.getsize(out) > 20000
+
+
+def test_gt_rotation_residual_diagnostic():
+    """GroundTruth_R diagnostic input (Tracking.cc:191 GrabImageRGBD +
+    MatrixResidual :3773): feeding the true rotation yields a small residual
+    on clean synthetic tracking; feeding a wrong rotation yields ~the
+    injected angle."""
+    import numpy as np
+    from dr_slam_tpu.io import synthetic
+    from dr_slam_tpu.slam.system import System, rotation_residual_deg
+    from tests.test_tracking_e2e import small_cfg
+
+    # unit identities of the residual formula itself
+    Rz = lambda a: np.array([[np.cos(a), -np.sin(a), 0],
+                             [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+    assert abs(rotation_residual_deg(np.eye(3), np.eye(3))) < 1e-6
+    assert abs(rotation_residual_deg(Rz(np.radians(10)), np.eye(3)) - 10) < 1e-4
+
+    cfg = small_cfg()
+    n = 6
+    poses = synthetic.corridor_trajectory(n, step=0.01)
+    seq = synthetic.SyntheticSequence(poses, K4=cfg.camera.K4,
+                                      height=240, width=320)
+    sysm = System(cfg, enable_loop_closing=False)
+    res = None
+    for i in range(n):
+        gray, depth = seq.render(i)
+        res = sysm.track_rgbd(gray, depth, i / 30.0,
+                              gt_R=np.asarray(poses[i])[:3, :3])
+    assert res.rot_residual_deg is not None
+    assert res.rot_residual_deg < 2.0, res.rot_residual_deg
+
+
+def test_stage_profiler_collects_device_times(tmp_path):
+    """Structured per-stage profiling (SURVEY.md section 5 tracing
+    obligation): enabling the profiler around a short run yields stage
+    timings for dispatch, keyframe insertion phases, and readbacks, and
+    dumps a JSON summary."""
+    import json
+    import os
+    from dr_slam_tpu.io import synthetic
+    from dr_slam_tpu.slam.system import System
+    from dr_slam_tpu.utils.profiling import PROFILER
+    from tests.test_tracking_e2e import small_cfg
+
+    cfg = small_cfg()
+    seq = synthetic.SyntheticSequence(
+        synthetic.corridor_trajectory(8), K4=cfg.camera.K4,
+        height=240, width=320)
+    PROFILER.reset()
+    PROFILER.enable()
+    try:
+        sysm = System(cfg, enable_loop_closing=False)
+        for i in range(8):
+            gray, depth = seq.render(i)
+            sysm.track_rgbd(gray, depth, i / 30.0)
+        sysm.shutdown(save_dir=str(tmp_path))
+    finally:
+        PROFILER.disable()
+    summ = json.loads(open(tmp_path / "stage_profile.json").read())
+    assert "kf.add" in summ and summ["kf.add"]["count"] >= 1
+    for st in summ.values():
+        assert st["mean_ms"] >= 0 and st["p95_ms"] >= st["p50_ms"] - 1e-6
