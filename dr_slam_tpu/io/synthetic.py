@@ -44,15 +44,17 @@ class BoxRoom:
         ], dtype=np.float32)
 
 
-def _texture(p, plane_idx):
+def _texture(p, plane_idx, phase_offset=0.0):
     """Procedural gray texture at world point p (..., 3) for plane plane_idx.
 
     Checkerboard (sharp corners for FAST) + two sinusoids (gradient texture)
-    with per-plane phase so different walls look different."""
+    with per-plane phase so different walls look different. plane_idx in 0..5
+    selects the in-plane (u, v) chart by dominant axis; phase_offset makes
+    additional surfaces (clutter-box faces) look distinct from the walls."""
     # Coordinates in the plane: drop the dominant axis per plane.
     u = jnp.where(plane_idx < 2, p[..., 2], jnp.where(plane_idx < 4, p[..., 0], p[..., 0]))
     v = jnp.where(plane_idx < 2, p[..., 1], jnp.where(plane_idx < 4, p[..., 2], p[..., 1]))
-    phase = plane_idx.astype(jnp.float32) * 1.7
+    phase = plane_idx.astype(jnp.float32) * 1.7 + phase_offset
 
     # Isolated rectangles of per-cell pseudo-random brightness: L-shaped
     # corners (FAST-9 detectable; checkerboard X-junctions are NOT).
@@ -93,12 +95,19 @@ def _texture(p, plane_idx):
     return jnp.clip(g, 0.0, 255.0)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width"))
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "quadratic_noise"))
 def render_frame(T_cw, planes, K4, height: int = 480, width: int = 640,
-                 depth_noise_key=None):
+                 depth_noise_key=None, boxes=None,
+                 quadratic_noise: bool = False):
     """Render (gray (H,W), depth (H,W)) from camera pose T_cw (world->cam).
 
-    Depth is z-depth in meters (0 where invalid), gray in [0,255] float32."""
+    Depth is z-depth in meters (0 where invalid), gray in [0,255] float32.
+    boxes: optional (B, 6) inner clutter AABBs [xmin,ymin,zmin,xmax,ymax,zmax]
+    rendered by slab intersection -- occlusions and depth discontinuities the
+    convex wall-only room cannot produce. quadratic_noise models a structured
+    -light sensor (sigma ~ 0.0012 z^2, Kinect-like) instead of the default
+    linear 0.001 z."""
     T_wc = se3.inv_T(T_cw)
     R_wc = T_wc[:3, :3]
     origin = T_wc[:3, 3]
@@ -118,15 +127,37 @@ def render_frame(T_cw, planes, K4, height: int = 480, width: int = 640,
     t = jnp.where((t > 1e-3) & (denom < 0), t, jnp.inf)  # hit front side only
     t_hit = jnp.min(t, -1)
     idx = jnp.argmin(t, -1)
+    phase_off = jnp.zeros_like(t_hit)
+
+    if boxes is not None and boxes.shape[0] > 0:
+        d_safe = jnp.where(jnp.abs(d_world) < 1e-9, 1e-9, d_world)
+        for b in range(boxes.shape[0]):
+            bmin, bmax = boxes[b, :3], boxes[b, 3:]
+            t1 = (bmin - origin) / d_safe             # (H, W, 3)
+            t2 = (bmax - origin) / d_safe
+            tn_ax = jnp.minimum(t1, t2)
+            tf_ax = jnp.maximum(t1, t2)
+            tn = jnp.max(tn_ax, -1)
+            tf = jnp.min(tf_ax, -1)
+            hit_b = (tf > jnp.maximum(tn, 1e-3)) & (tn > 1e-3) & (tn < t_hit)
+            # entry face: the axis whose slab bounds tn; its sign picks the
+            # (u, v) chart exactly as the matching wall pair does
+            axis = jnp.argmax(tn_ax, -1)
+            face_idx = 2 * axis  # 0/2/4: the x/y/z-normal uv charts
+            t_hit = jnp.where(hit_b, tn, t_hit)
+            idx = jnp.where(hit_b, face_idx, idx)
+            phase_off = jnp.where(hit_b, (b + 1) * 5.1, phase_off)
+
     hit = jnp.isfinite(t_hit)
     t_hit = jnp.where(hit, t_hit, 0.0)
 
     p_world = origin + t_hit[..., None] * d_world
-    gray = _texture(p_world, idx)
+    gray = _texture(p_world, idx, phase_off)
     gray = jnp.where(hit, gray, 0.0)
     depth = jnp.where(hit, t_hit, 0.0)
     if depth_noise_key is not None:
-        noise = 0.001 * depth * jax.random.normal(depth_noise_key, depth.shape)
+        sigma = 0.0012 * depth * depth if quadratic_noise else 0.001 * depth
+        noise = sigma * jax.random.normal(depth_noise_key, depth.shape)
         depth = jnp.where(hit, depth + noise, 0.0)
     return gray, depth
 
@@ -178,6 +209,29 @@ def loop_trajectory(n_frames: int, room: BoxRoom | None = None) -> np.ndarray:
     return np.asarray(poses, dtype=np.float32)
 
 
+def office_clutter(room: BoxRoom | None = None, n_boxes: int = 5,
+                   seed: int = 3) -> np.ndarray:
+    """(B, 6) axis-aligned clutter boxes (desks/cabinets/shelving stand-ins)
+    placed along the walls of the room, floor-seated, leaving the center
+    navigable. A DIFFERENT world from the bare corridor the acceptance
+    constants were tuned on (VERDICT r2 weak 6): occlusions, depth steps,
+    small planar patches at many depths."""
+    room = room or BoxRoom()
+    rng = np.random.RandomState(seed)
+    boxes = []
+    for i in range(n_boxes):
+        w = rng.uniform(0.4, 0.9)           # width along the wall
+        dpt = rng.uniform(0.3, 0.6)         # protrusion into the room
+        hgt = rng.uniform(0.7, 1.6)         # height from the floor
+        z0 = rng.uniform(0.5, room.zmax - 1.5)
+        if i % 2 == 0:                      # left wall (x = 0)
+            boxes.append([0.0, room.ymax - hgt, z0, dpt, room.ymax, z0 + w])
+        else:                               # right wall (x = xmax)
+            boxes.append([room.xmax - dpt, room.ymax - hgt, z0,
+                          room.xmax, room.ymax, z0 + w])
+    return np.asarray(boxes, np.float32)
+
+
 @dataclass
 class SyntheticSequence:
     """Renders frames lazily; mirrors the TUMDataset interface."""
@@ -188,10 +242,14 @@ class SyntheticSequence:
     room: BoxRoom = field(default_factory=BoxRoom)
     fps: float = 30.0
     depth_noise: bool = False
+    boxes: np.ndarray | None = None            # (B, 6) clutter AABBs
+    quadratic_noise: bool = False              # Kinect-like sigma ~ z^2
 
     def __post_init__(self):
         self._planes = jnp.asarray(self.room.planes())
         self._K4 = tuple(float(k) for k in self.K4)
+        self._boxes = (jnp.asarray(self.boxes, jnp.float32)
+                       if self.boxes is not None else None)
 
     def __len__(self):
         return len(self.poses_cw)
@@ -203,7 +261,8 @@ class SyntheticSequence:
         key = jax.random.PRNGKey(i) if self.depth_noise else None
         gray, depth = render_frame(jnp.asarray(self.poses_cw[i]), self._planes,
                                    self._K4, self.height, self.width,
-                                   depth_noise_key=key)
+                                   depth_noise_key=key, boxes=self._boxes,
+                                   quadratic_noise=self.quadratic_noise)
         return gray, depth
 
     def __getitem__(self, i: int):
