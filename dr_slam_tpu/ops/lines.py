@@ -65,6 +65,46 @@ def _line_pattern(seed: int = 7, n: int = 256) -> np.ndarray:
 _LINE_PATTERN = _line_pattern()
 
 
+def refine_line_mle(X, w_mask, mu0, dir0, n_iters: int = 3):
+    """Per-point-covariance Mahalanobis MLE line refinement.
+
+    Capability of the reference's levmar 3D-line MLE (LineExtractor.cpp:
+    14-260): each sample's uncertainty comes from the depth sensor model
+    (structured light: sigma_z ~ 0.0012 z^2 + floor), and the line maximizes
+    the likelihood under those per-point covariances. A weighted PCA is the
+    EXACT Gauss-Newton step for a line under (isotropic) per-point sigma, so
+    n_iters IRLS rounds -- inverse-variance weights times a Huber factor on
+    the Mahalanobis residual -- replace the reference's Levenberg-Marquardt
+    iteration with fixed-shape tensor ops (batched over all lines at once,
+    no per-line host loop).
+
+    X (L, S, 3) sample points, w_mask (L, S) in {0,1} RANSAC inliers,
+    mu0/dir0 (L, 3) initialization. Returns refined (mu, dir)."""
+    from dr_slam_tpu.ops import eig33
+
+    sigma = 0.0012 * jnp.square(X[..., 2]) + 1e-3      # (L, S)
+    inv_s2 = 1.0 / jnp.square(sigma)
+
+    def body(_, carry):
+        mu, d = carry
+        rel = X - mu[:, None]
+        along = jnp.einsum("lsc,lc->ls", rel, d)
+        dist = jnp.linalg.norm(rel - along[..., None] * d[:, None], axis=-1)
+        r = dist / sigma                                # Mahalanobis residual
+        huber = jnp.minimum(1.0, 1.345 / jnp.maximum(r, 1e-9))
+        w = w_mask * inv_s2 * huber
+        wsum = jnp.maximum(jnp.sum(w, -1), 1e-6)
+        mu2 = jnp.sum(X * w[..., None], 1) / wsum[:, None]
+        dXw = (X - mu2[:, None]) * jnp.sqrt(w)[..., None]
+        cov = jnp.einsum("lsi,lsj->lij", dXw, dXw) / wsum[:, None, None]
+        ev = eig33.eigvals_sym3(cov)
+        v = eig33.smallest_eigvec_sym3(-cov, -ev[:, 2])
+        sgn = jnp.where(jnp.sum(v * d, -1, keepdims=True) < 0, -1.0, 1.0)
+        return mu2, v * sgn
+
+    return jax.lax.fori_loop(0, n_iters, body, (mu0, dir0))
+
+
 @functools.partial(
     jax.jit, static_argnames=("cell", "max_lines", "n_samples", "n_prop"))
 def extract_lines(gray: jnp.ndarray, depth: jnp.ndarray, K4,
@@ -276,6 +316,9 @@ def extract_lines(gray: jnp.ndarray, depth: jnp.ndarray, K4,
     v = eig33.smallest_eigvec_sym3(-cov3, -evals[:, 2])
     sign = jnp.where(jnp.sum(v * bdir, -1, keepdims=True) < 0, -1.0, 1.0)
     dir3d = v * sign
+    # Mahalanobis MLE polish with per-point depth covariance (the role of
+    # the reference's levmar line MLE, LineExtractor.cpp:14-260)
+    mu, dir3d = refine_line_mle(X, wl, mu, dir3d)
     tproj = jnp.einsum("lsc,lc->ls", X - mu[:, None], dir3d)
     tproj = jnp.where(binl, tproj, 0.0)
     e1 = mu + jnp.min(tproj, -1, keepdims=True) * dir3d
