@@ -89,6 +89,11 @@ class PlaneConfig:
     mse_factor: float = 2.5e-3     # planarity MSE gate: (factor * z^2)^2
     max_depth: float = 5.0         # cap like PlaneExtractor.cpp:44
     cloud_points: int = 256        # stored per-plane sample cloud size
+    # CAPE cylinder extraction (reference src/CAPE/CylinderSeg.cpp) -- OFF by
+    # default, matching the reference shipping its call sites commented out
+    # (Frame.cc:129-132)
+    detect_cylinders: bool = False
+    max_cylinders: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

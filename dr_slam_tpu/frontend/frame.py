@@ -36,6 +36,9 @@ class FrameFeatures(NamedTuple):
     normals_valid: jnp.ndarray     # (Nn,)
     planes: plane_ops.PlaneSegmentation
     lines: "line_ops.LineFeatures"
+    cylinders: object = None       # CylinderSegmentation when
+                                   # cfg.plane.detect_cylinders (CAPE parity;
+                                   # off by default like the reference)
 
 
 def _sample_depth(depth: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +104,16 @@ def _extract_frame(gray, depth, cam, orb, plane, line) -> FrameFeatures:
         grad_threshold=line.grad_threshold,
         min_length=line.min_length, n_samples=line.n_samples)
 
+    cyl = None
+    if plane.detect_cylinders:
+        from dr_slam_tpu.ops.cylinders import segment_cylinders
+        cyl = segment_cylinders(depth, K4, seg.block_label,
+                                block=plane.block,
+                                max_cylinders=plane.max_cylinders,
+                                mse_factor=plane.mse_factor,
+                                max_depth=plane.max_depth)
+
     return FrameFeatures(kp=kp, kp_depth=d, kp_ur=ur, kp_xyz=xyz,
                          normals=nrm.reshape(-1, 3),
                          normals_valid=nrm_ok.reshape(-1),
-                         planes=seg, lines=lf)
+                         planes=seg, lines=lf, cylinders=cyl)
