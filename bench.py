@@ -149,6 +149,63 @@ def bench_odometry(n_frames: int = 48) -> float | None:
     return n_frames / dt
 
 
+def bench_interactive_device(n_frames: int = 120, warm: int = 25) -> float | None:
+    """Closed-loop interactive tracking fps via the DEVICE-RESIDENT state
+    machine (slam/device_loop.py): init, per-frame tracking, LOST rollback,
+    keyframe insertion with the full LocalMapping pass (cull / triangulate /
+    fuse / local BA) all inside one jitted step, ZERO host readbacks in the
+    timed region. This is the honest interactive number: every keyframe
+    cost is in the timed loop, and per-frame latency is the dispatch+H2D
+    path a live camera would see.
+
+    Frames are pre-rendered in a SUBPROCESS: converting device-rendered
+    frames to numpy in this process would be a host readback, which on the
+    axon tunnel permanently degrades the runtime (~0.5 ms/frame -> ~100
+    ms/frame for every later program). Same reason the host-state-machine
+    loop (bench_tracking) can never exceed ~10 fps here."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    try:
+        from dr_slam_tpu.slam.device_loop import DeviceLoopTracker
+    except Exception:
+        return None
+    from dr_slam_tpu.config import tum_freiburg3
+
+    frames_path = "/tmp/drslam_bench_frames.npz"
+    if not os.path.exists(frames_path):
+        code = (
+            "import numpy as np\n"
+            "from dr_slam_tpu.config import tum_freiburg3\n"
+            "from dr_slam_tpu.io import synthetic\n"
+            "cfg = tum_freiburg3()\n"
+            f"poses = synthetic.corridor_trajectory({n_frames})\n"
+            "seq = synthetic.SyntheticSequence(poses, K4=cfg.camera.K4)\n"
+            "gs, ds = [], []\n"
+            f"for i in range({n_frames}):\n"
+            "    g, d = seq.render(i)\n"
+            "    gs.append(np.asarray(g)); ds.append(np.asarray(d))\n"
+            f"np.savez('{frames_path}', gray=np.stack(gs), "
+            "depth=np.stack(ds))\n")
+        subprocess.run([_sys.executable, "-c", code], check=True,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    z = np.load(frames_path)
+    gray, depth = z["gray"], z["depth"]
+    n_frames = min(n_frames, gray.shape[0])
+    cfg = tum_freiburg3()
+    tr = DeviceLoopTracker(cfg)
+    for i in range(warm):
+        tr.track(gray[i], depth[i], i / 30.0)
+    jax.block_until_ready(tr.carry.T_cw)
+    t0 = time.perf_counter()
+    for i in range(warm, n_frames):
+        tr.track(gray[i], depth[i], i / 30.0)
+    jax.block_until_ready(tr.carry.T_cw)
+    dt = time.perf_counter() - t0
+    return (n_frames - warm) / dt
+
+
 def mfu_estimate(fps: float) -> dict | None:
     """Model FLOPs utilization of the pipelined per-frame program: XLA's own
     cost analysis of (extract_frame + track_step) x measured frames/sec over
@@ -204,12 +261,24 @@ def main():
     if mfu:
         out.update(mfu)
     try:
-        # closed-loop System path: state machine, deferred resolve, keyframe
-        # insertions with the full LocalMapping pass (cull/fuse/triangulate/
-        # local BA) in the timed region -- the honest interactive number
-        ifps = bench_tracking()
+        # closed-loop interactive: the device-resident state machine (init,
+        # tracking, LOST rollback, keyframe insertion incl. cull/triangulate/
+        # fuse/local BA) -- zero host readbacks, every keyframe cost timed.
+        # MUST run before bench_tracking: that one's host readbacks
+        # permanently degrade the runtime for this whole process.
+        ifps = bench_interactive_device()
         if ifps:
             out["interactive_fps"] = round(ifps, 2)
+    except Exception:
+        pass
+    try:
+        # host-state-machine closed loop (deferred readback pipeline). On
+        # the axon tunnel this is runtime-bound at ~8-10 fps: its per-frame
+        # host readback both stalls and degrades the transport. Reported
+        # for honesty alongside the device-resident number.
+        hfps = bench_tracking()
+        if hfps:
+            out["interactive_fps_host_readback"] = round(hfps, 2)
     except Exception:
         pass
     print(json.dumps(out))

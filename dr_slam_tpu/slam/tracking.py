@@ -659,7 +659,8 @@ class Tracker:
             # is exactly where relocalization tends to be needed. 3D-3D
             # alignment is well-posed for coplanar (non-collinear) points.
             pairs3d = ok3d & (feats.kp_depth > 1e-3)
-            if int(jnp.sum(pairs3d)) >= 10:
+            used_horn = int(jnp.sum(pairs3d)) >= 10
+            if used_horn:
                 from dr_slam_tpu.optimize.sim3 import sim3_ransac
                 T0, _, n_in = sim3_ransac(pts3d, feats.kp_xyz, pairs3d,
                                           inlier_dist=0.10)
@@ -706,7 +707,24 @@ class Tracker:
                 kp_angle=feats.kp.angle)
             if _dbg:
                 print(f"[reloc]  kf={int(kf_id)} opt_inl={int(opt.n_inliers)} verify={int(verify.n_matches)}", flush=True)
-            if int(opt.n_inliers) >= 30 and int(verify.n_matches) >= 60:
+            # Acceptance. Primary gate: joint-opt inliers + full-map
+            # projection consistency (stricter than the reference's plain
+            # nGood>=50, Tracking.cc:3668 -- guards BoW aliasing). But on a
+            # DRIFTED map that gate is unattainable by construction: each
+            # landmark carries its newest observer's gauge, so no rigid pose
+            # is consistent with the whole map, and reloc would stall for
+            # dozens of frames until the camera re-enters a low-drift region
+            # (observed: Horn finds 60-80 metric 3D-3D inliers while the
+            # full-map verify saturates at ~40-60). Secondary gate: a STRONG
+            # metric consensus -- >=50 Horn 3D-3D RANSAC inliers at 0.10 m on
+            # measured depth is a rigid alignment that 2D BoW aliasing cannot
+            # fake -- with relaxed joint/verify floors for candidate-local
+            # consistency (the reference's own acceptance level).
+            strong_metric = (used_horn and int(n_in) >= 50
+                             and int(opt.n_inliers) >= 15
+                             and int(verify.n_matches) >= 35)
+            if ((int(opt.n_inliers) >= 30 and int(verify.n_matches) >= 60)
+                    or strong_metric):
                 self.T_cw = opt.T_cw
                 self.velocity = jnp.eye(4)
                 self.state = TrackState.OK
