@@ -38,7 +38,8 @@ class System:
 
     def __init__(self, config: SlamConfig | str | None = None,
                  use_viewer: bool = False, metrics_path: str | None = None,
-                 enable_loop_closing: bool = True, detector=None):
+                 enable_loop_closing: bool = True, detector=None,
+                 live_viewer: bool = False, live_viewer_port: int = 0):
         """detector: optional object detector with .detect(rgb) -> Detections
         (e.g. models.yolox.YOLOX) -- the reference runs YOLOX per frame for
         the 2D overlay only (Frame::ExtractObject -> FrameDrawer::DrawObjects,
@@ -59,6 +60,12 @@ class System:
         if use_viewer or self.cfg.viewer.use_viewer:
             from dr_slam_tpu.viz.viewer import Viewer
             self._viewer = Viewer(self)
+        self._live = None
+        if live_viewer:
+            # browser-stream live viewer (the reference's Pangolin window
+            # capability, src/Viewer.cc:43, headless-host redesign)
+            from dr_slam_tpu.viz.live import LiveViewer
+            self._live = LiveViewer(self, port=live_viewer_port)
 
     def _load_default_vocabulary(self):
         """Register the shipped trained BoW codebook when its word count
@@ -109,6 +116,16 @@ class System:
                 self._run_loop_closing()
         if self._viewer is not None:
             self._viewer.update(res)
+        if self._live is not None:
+            from dr_slam_tpu.frontend.frame import extract_frame
+            import jax.numpy as jnp
+            cfg = self.cfg
+            self._live.update(
+                res, gray=gray,
+                feats_fn=lambda: extract_frame(
+                    jnp.asarray(gray, jnp.float32),
+                    jnp.asarray(depth, jnp.float32), cfg),
+                detections=self.last_detections)
         return res
 
     def _run_loop_closing(self):

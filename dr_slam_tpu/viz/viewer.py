@@ -109,7 +109,8 @@ class Viewer:
         ax.set_ylabel("z")
         ax.set_zlabel("-y")
         ax.legend(loc="upper right")
-        fig.savefig(path, dpi=110)
+        # format pinned so `path` may be a BytesIO (live viewer streaming)
+        fig.savefig(path, dpi=110, format="png")
         plt.close(fig)
 
 
@@ -155,5 +156,5 @@ def draw_frame_overlay(gray, feats, path: str, detections=None,
                  f"planes={int(np.asarray(feats.planes.valid).sum())} "
                  f"objects={n_det}")
     ax.axis("off")
-    fig.savefig(path, dpi=110, bbox_inches="tight")
+    fig.savefig(path, dpi=110, bbox_inches="tight", format="png")
     plt.close(fig)

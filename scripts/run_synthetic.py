@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--out", default="/tmp/drslam_out")
     ap.add_argument("--depth-noise", action="store_true")
     ap.add_argument("--viewer", action="store_true")
+    ap.add_argument("--live", type=int, default=None, metavar="PORT",
+                    help="serve the live browser viewer on this port "
+                         "(0 = any free port; printed at startup)")
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace here (SURVEY.md sec 5)")
     args = ap.parse_args()
@@ -35,7 +38,12 @@ def main():
             else synthetic.loop_trajectory)
     seq = synthetic.SyntheticSequence(make(args.frames), K4=cfg.camera.K4,
                                       depth_noise=args.depth_noise)
-    sysm = System(cfg, use_viewer=args.viewer)
+    sysm = System(cfg, use_viewer=args.viewer,
+                  live_viewer=args.live is not None,
+                  live_viewer_port=args.live or 0)
+    if sysm._live is not None:
+        print(f"live viewer: http://127.0.0.1:{sysm._live.port}/",
+              file=sys.stderr)
 
     import contextlib
     import jax
