@@ -35,7 +35,7 @@ import numpy as np
 _PAGE = """<!doctype html>
 <html><head><title>DR-SLAM-TPU live</title><style>
 body{background:#111;color:#ddd;font-family:monospace;margin:1em}
-img{max-width:48%%;border:1px solid #444;vertical-align:top}
+img{max-width:48%;border:1px solid #444;vertical-align:top}
 pre{color:#8c8}</style></head><body>
 <h3>DR-SLAM-TPU live viewer</h3>
 <img src="map.mjpg" onerror="this.src='map.png'">
