@@ -43,6 +43,14 @@ class CameraConfig:
     def baseline(self) -> float:
         return self.bf / self.fx
 
+    @property
+    def th_depth_m(self) -> float:
+        """Close/far depth threshold in meters (mThDepth = mbf*ThDepth/fx,
+        Tracking.cc:155): points nearer than this are 'close' — reliably
+        triangulated from one RGB-D view — and drive the
+        bNeedToInsertClose keyframe gate (Tracking.cc:2955)."""
+        return self.bf * self.th_depth / self.fx
+
 
 @dataclasses.dataclass(frozen=True)
 class ORBConfig:
@@ -121,6 +129,18 @@ class MapConfig:
 class TrackingConfig:
     min_frames: int = 10        # mMinFrames (Tracking.cc:93)
     max_frames: int = 30        # mMaxFrames = fps (Tracking.cc:94)
+    # NeedNewKeyFrame gates (Tracking.cc:2907-3039, RGB-D constants):
+    kf_ref_ratio: float = 0.75       # thRefRatio (c2: inliers < ratio*ref)
+    kf_collapse_ratio: float = 0.25  # c1c: inliers < 0.25*ref forces a KF
+    # bNeedToInsertClose (Tracking.cc:2944-2964): tracked close points
+    # < 100 AND untracked close points > 70 -- the reference's absolute
+    # constants assume its 1000-feature budget; here they are expressed at
+    # that budget and scaled by orb.n_features/1000 at the use sites, so
+    # reduced-feature configs don't chain-insert keyframes while the map
+    # warms up (the count of close points scales with the feature budget)
+    kf_close_tracked_max: int = 100  # at a 1000-feature budget
+    kf_close_untracked_min: int = 70 # at a 1000-feature budget
+    kf_min_inliers: int = 15         # c2 floor: never insert below this
     motion_search_radius: float = 28.0
     local_search_radius: float = 8.0    # stage-2 rematch window
     reloc_search_radius: float = 10.0

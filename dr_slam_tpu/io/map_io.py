@@ -32,6 +32,15 @@ def load_map(path: str, cfg: SlamConfig) -> MapState:
             ring = np.broadcast_to(data["pt_desc"][:, None, :], tmpl.shape)
             fields[k] = jnp.asarray(ring, dtype=tmpl.dtype)
             continue
+        if k == "kf_word" and k not in data:
+            # maps saved before the word-id cache existed: recompute the
+            # per-feature vocabulary assignment from the stored descriptors
+            from dr_slam_tpu.associate.vocabulary import word_ids
+            NK, K = tmpl.shape
+            w = word_ids(jnp.asarray(data["kf_desc"].reshape(NK * K, 8)),
+                         cfg.map.vocab_words)
+            fields[k] = w.reshape(NK, K).astype(tmpl.dtype)
+            continue
         arr = data[k]
         if arr.shape != tmpl.shape:
             raise ValueError(

@@ -50,6 +50,13 @@ class LineFeatures(NamedTuple):
     has3d: jnp.ndarray      # (L,) bool
     valid: jnp.ndarray      # (L,) bool
     response: jnp.ndarray   # (L,) support strength
+    # Manhattan direction evidence: dir3d where depth backed the 3D lift,
+    # else the direction of the best-supported 2D vanishing point the line
+    # votes for (the reference's VP_estimation/Vp_Ransac feed into
+    # TrackManhattanFrame, Frame.cc:306-475) -- so depth-poor frames still
+    # contribute line evidence to the Manhattan tracker
+    man_dir: jnp.ndarray    # (L, 3) unit 3D direction (camera frame)
+    man_ok: jnp.ndarray     # (L,) bool
 
 
 def _line_pattern(seed: int = 7, n: int = 256) -> np.ndarray:
@@ -103,6 +110,62 @@ def refine_line_mle(X, w_mask, mu0, dir0, n_iters: int = 3):
         return mu2, v * sgn
 
     return jax.lax.fori_loop(0, n_iters, body, (mu0, dir0))
+
+
+def vp_directions(lineq: jnp.ndarray, seg2d: jnp.ndarray,
+                  valid: jnp.ndarray, K4,
+                  angle_tol_deg: float = 2.0, min_votes: int = 4):
+    """Batched 2D vanishing-point estimation -> per-line 3D directions.
+
+    Capability of the reference's image-space VP RANSAC
+    (Frame::VP_estimation / Vp_Ransac / compute_vote, Frame.cc:255-475),
+    redesigned as a fixed-shape tensor program: hypotheses are the cross
+    products of line-equation pairs at several circular offsets (every line
+    seeds hypotheses; no sampling loop); a line VOTES for a hypothesis when
+    the direction from its midpoint to the VP aligns with its own image
+    direction within angle_tol (the reference's vote criterion); each line
+    then adopts the 3D direction K^-1 @ vp of the best-supported VP it is
+    consistent with. Homogeneous math throughout, so VPs at infinity
+    (parallel image lines) need no special case.
+
+    Returns (dir3 (L, 3) unit camera-frame directions, ok (L,) bool)."""
+    L = lineq.shape[0]
+    fx, fy, cx0, cy0 = K4
+    # hypotheses: pairs (i, i+o mod L) for fixed offsets -> P = 6L, each a
+    # homogeneous image point v = l_i x l_j
+    offs = (1, 2, 3, 5, 8, 13)
+    li = jnp.concatenate([lineq] * len(offs), 0)                  # (P, 3)
+    lj = jnp.concatenate([jnp.roll(lineq, -o, axis=0) for o in offs], 0)
+    vi = jnp.concatenate([valid] * len(offs), 0)
+    vj = jnp.concatenate([jnp.roll(valid, -o, axis=0) for o in offs], 0)
+    v = jnp.cross(li, lj)                                         # (P, 3)
+    vnorm = jnp.linalg.norm(v, axis=-1)
+    hyp_ok = vi & vj & (vnorm > 1e-6)
+    v = v / jnp.maximum(vnorm, 1e-9)[:, None]
+
+    mid = 0.5 * (seg2d[:, :2] + seg2d[:, 2:])                     # (L, 2)
+    d2 = seg2d[:, 2:] - seg2d[:, :2]
+    d2 = d2 / jnp.maximum(jnp.linalg.norm(d2, axis=-1, keepdims=True), 1e-9)
+    # direction from midpoint m to VP v, homogeneous-safe:
+    # (vx - vz mx, vy - vz my) ~ (v/vz - m); reduces to (vx, vy) at infinity
+    to_vp = v[None, :, :2] - v[None, :, 2:3] * mid[:, None, :]    # (L, P, 2)
+    to_vp_n = jnp.maximum(jnp.linalg.norm(to_vp, axis=-1), 1e-9)
+    cosang = jnp.abs(jnp.einsum("lpc,lc->lp", to_vp, d2)) / to_vp_n
+    aligns = cosang > float(np.cos(np.radians(angle_tol_deg)))
+    votes = aligns & valid[:, None] & hyp_ok[None, :]             # (L, P)
+    score = jnp.sum(votes, 0)                                     # (P,)
+    # each line adopts the best-supported hypothesis it voted for
+    per_line = jnp.where(votes, score[None, :], -1)
+    best_p = jnp.argmax(per_line, -1)                             # (L,)
+    best_score = jnp.take_along_axis(per_line, best_p[:, None], 1)[:, 0]
+    ok = valid & (best_score >= min_votes)
+    vb = v[best_p]                                                # (L, 3)
+    # 3D direction of the pencil of parallel lines: normalize(K^-1 @ vp)
+    d3 = jnp.stack([(vb[:, 0] - cx0 * vb[:, 2]) / fx,
+                    (vb[:, 1] - cy0 * vb[:, 2]) / fy,
+                    vb[:, 2]], -1)
+    d3 = d3 / jnp.maximum(jnp.linalg.norm(d3, axis=-1, keepdims=True), 1e-9)
+    return d3, ok
 
 
 @functools.partial(
@@ -325,7 +388,14 @@ def extract_lines(gray: jnp.ndarray, depth: jnp.ndarray, K4,
     e2 = mu + jnp.max(tproj, -1, keepdims=True) * dir3d
     has3d = valid & (n_inl >= max(4, n_samples // 4))
 
+    # Manhattan direction evidence: depth-backed lines use the metric 3D
+    # direction; depthless lines fall back to vanishing-point directions
+    # (Frame::VP_estimation feed into the Manhattan tracker)
+    vp_dir, vp_ok = vp_directions(lineq, seg2d, valid, K4)
+    man_dir = jnp.where(has3d[:, None], dir3d, vp_dir)
+    man_ok = has3d | (valid & vp_ok)
+
     return LineFeatures(
         seg2d=seg2d, lineq=lineq, desc=desc, dir3d=dir3d,
         ep3d=jnp.concatenate([e1, e2], -1), has3d=has3d, valid=valid,
-        response=top_sup)
+        response=top_sup, man_dir=man_dir, man_ok=man_ok)

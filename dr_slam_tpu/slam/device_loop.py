@@ -24,11 +24,14 @@ as the reference runs it off the critical path.
 
 Semantics vs the host state machine (slam/tracking.py):
 - decisions are per-frame synchronous ON DEVICE (no one-frame lag);
-- relocalization is not attempted while lost; instead the step keeps
-  re-tracking from the last good pose with an identity velocity prior plus
-  the BoW-bucketed reference-keyframe fallback already inside track_step
-  (the host pipeline's candidate-ladder relocalization remains available
-  after a flush());
+- LOST recovery is two-rung, both device-side: first re-track from the
+  last good pose with an identity velocity prior (brief occlusion/blur),
+  then -- if the previous frame was already lost -- full relocalization
+  under lax.cond (_reloc_attempt: BoW top-k candidates, word-bucketed
+  matching, Horn 3D-3D RANSAC, pose optimization, full-map projection
+  verification), so even teleports recover without a host readback;
+- loop closing can run as a bounded host-assist epoch between segments
+  (loop_closing_epoch()), or entirely after flush();
 - host-side trajectory bookkeeping is reconstructed at flush() from the
   per-frame records (pose, reference keyframe slot + insertion seq + pose
   at track time), giving the same loop-correctable trajectory the host
@@ -117,11 +120,11 @@ def _init_branch(carry: LoopCarry, feats, ts, cfg: SlamConfig):
         R_cm, mok = find_manhattan(
             feats.planes.coeffs[:, :3], feats.planes.valid,
             feats.planes.n_blocks.astype(jnp.float32),
-            feats.lines.dir3d, feats.lines.has3d,
+            feats.lines.man_dir, feats.lines.man_ok,
             vertical_cos=cfg.plane.vertical_threshold)
         man = track_manhattan_frame(
             R_cm, feats.normals, feats.normals_valid,
-            feats.lines.dir3d, feats.lines.has3d,
+            feats.lines.man_dir, feats.lines.man_ok,
             cone_normals=cfg.manhattan.cone_angle_normals,
             cone_lines=cfg.manhattan.cone_angle_lines,
             kernel=cfg.manhattan.mean_shift_kernel,
@@ -201,6 +204,60 @@ def _kf_branch(state: MapState, feats, out, T_cur, ts, prev_kf,
     return state, kf_id.astype(jnp.int32), T_cur
 
 
+def _reloc_attempt(carry: LoopCarry, feats, cfg: SlamConfig):
+    """Device-side Relocalization (Tracking.cc:3543-3688 capability, fully
+    under jit so the readback-free regime survives being lost): BoW L1
+    scores over all keyframes -> top-3 candidates -> word-bucketed
+    descriptor matching per candidate -> Horn 3D-3D RANSAC (RGB-D metric
+    consensus, well-posed where 2D-3D DLT degenerates on coplanar walls)
+    -> joint pose optimization on the best candidate -> full-map projection
+    verification. Returns (accepted, T_cw, ref_kf_slot, n_inliers)."""
+    from dr_slam_tpu.associate.vocabulary import (bow_scores, compute_bow,
+                                                  word_ids)
+    from dr_slam_tpu.optimize.pose_opt import pose_optimize
+    from dr_slam_tpu.optimize.sim3 import sim3_ransac
+
+    st = carry.map_state
+    cam = cfg.camera
+    bow = compute_bow(feats.kp.desc, feats.kp.valid, cfg.map.vocab_words)
+    scores = bow_scores(bow, st.kf_bow, st.kf_valid)
+    _, top_idx = jax.lax.top_k(scores, 3)
+    kpw = word_ids(feats.kp.desc, cfg.map.vocab_words)
+
+    def try_candidate(kf_id):
+        ref = map_ops.match_reference_kf(
+            st, kf_id, feats.kp.desc, feats.kp.valid,
+            max_hamming=map_ops.TH_HIGH, kp_word=kpw,
+            kf_word=st.kf_word[kf_id])
+        pts3d = st.pt_pos[jnp.clip(ref.mp_idx, 0)]
+        pairs3d = (ref.mp_idx >= 0) & (feats.kp_depth > 1e-3)
+        T0, _, n_in = sim3_ransac(pts3d, feats.kp_xyz, pairs3d,
+                                  inlier_dist=0.10)
+        return T0, n_in, ref.mp_idx
+
+    T0s, n_ins, mp_idxs = jax.vmap(try_candidate)(top_idx)
+    best = jnp.argmax(n_ins)
+    T0, n_in, mp_idx = T0s[best], n_ins[best], mp_idxs[best]
+    kf_best = top_idx[best]
+
+    pm = map_ops.match_planes(st, feats.planes.coeffs, feats.planes.valid,
+                              T0)
+    no_lines = jnp.full((cfg.line.max_lines,), -1, jnp.int32)
+    obs = map_ops.build_pose_obs(st, feats, mp_idx, pm, no_lines,
+                                 n_struct=cfg.map.max_kf_planes)
+    opt = pose_optimize(T0, obs, cam.K4, cam.bf)
+    verify = map_ops.match_points_projection(
+        st, feats.kp.uv, feats.kp.desc, feats.kp.valid, opt.T_cw, cam.K4,
+        radius=6.0, max_hamming=map_ops.TH_LOW + 10.0,
+        width=cam.width, height=cam.height, kp_angle=feats.kp.angle)
+    # acceptance = the host tracker's strong-metric gate
+    # (tracking.py _relocalize): a >=30-inlier rigid 3D-3D consensus on
+    # measured depth plus joint-opt and full-map projection floors
+    accepted = ((n_in >= 30) & (opt.n_inliers >= 15)
+                & (verify.n_matches >= 35))
+    return accepted, opt.T_cw, kf_best.astype(jnp.int32), opt.n_inliers
+
+
 def _track_branch(carry: LoopCarry, feats, ts, cfg: SlamConfig,
                   localization_only: bool):
     out = track_step(carry.map_state, feats, carry.T_cw, carry.velocity,
@@ -209,17 +266,35 @@ def _track_branch(carry: LoopCarry, feats, ts, cfg: SlamConfig,
     n_mat = out.n_matches
     bad = ((n_inl < 10) | (n_inl < 0.3 * jnp.maximum(n_mat, 1))
            | (out.jump > 0.30))
-    # failure recovery: rollback to the last good pose with an identity
-    # velocity prior; next frame retries from there (the BoW-bucketed
-    # reference-KF fallback inside track_step handles match collapse)
-    T_new = jnp.where(bad, carry.T_cw, out.T_cw)
-    vel_new = jnp.where(bad, jnp.eye(4), out.velocity)
-    R_new = jnp.where(bad, carry.R_cm, out.R_cm)
+    # failure recovery, two rungs:
+    # 1. rollback to the last good pose with an identity velocity prior;
+    #    next frame retries from there (the BoW-bucketed reference-KF
+    #    fallback inside track_step handles match collapse) -- covers brief
+    #    occlusions/blur where the camera hasn't moved far;
+    # 2. if the PREVIOUS frame was already lost and this frame is bad again
+    #    (rung 1 failed), run full device-side relocalization -- covers
+    #    teleports/long occlusions the re-track can never recover from.
+    st0 = carry.map_state
+    reloc_ok, T_reloc, reloc_kf, reloc_inl = jax.lax.cond(
+        carry.lost & bad,
+        lambda: _reloc_attempt(carry, feats, cfg),
+        lambda: (jnp.asarray(False), carry.T_cw,
+                 carry.ref_kf, jnp.asarray(0, jnp.int32)))
+    T_new = jnp.where(reloc_ok, T_reloc,
+                      jnp.where(bad, carry.T_cw, out.T_cw))
+    vel_new = jnp.where(bad | reloc_ok, jnp.eye(4), out.velocity)
+    R_new = jnp.where(
+        reloc_ok & st0.manhattan_ok, T_reloc[:3, :3] @ st0.R_wm,
+        jnp.where(bad, carry.R_cm, out.R_cm))
+    ref_base = jnp.where(reloc_ok, reloc_kf, carry.ref_kf)
+    lost_new = bad & ~reloc_ok
+    n_inl = jnp.where(reloc_ok, reloc_inl, n_inl)
     if localization_only:
         state = carry.map_state  # frozen map: no statistics, no keyframes
     else:
         # rejected frames must not mutate map statistics (matches the host
-        # deferred path)
+        # deferred path); a reloc frame's track stats came from the WRONG
+        # pose, so they are rejected too
         state = jax.tree_util.tree_map(
             lambda a, b: jnp.where(bad, a, b),
             carry.map_state, out.new_map_state)
@@ -227,29 +302,43 @@ def _track_branch(carry: LoopCarry, feats, ts, cfg: SlamConfig,
     tr = cfg.tracking
     frames_since = carry.frame_id - carry.last_kf_frame
     n_kfs = jnp.sum(state.kf_valid)
-    need_kf = (~bad
-               & ((frames_since >= tr.min_frames)
-                  | (n_inl < 0.5 * jnp.maximum(carry.last_kf_inliers, 100)))
+    # NeedNewKeyFrame (Tracking.cc:2944-3000), identical to the host policy
+    # in Tracker._maybe_insert_keyframe -- see there for the rationale; the
+    # close/ref counts come out of track_step's scalar bundle
+    n_close_tracked = out.bundle[20]
+    n_close_untracked = out.bundle[21]
+    ref_floor = jnp.maximum(out.bundle[22], 1.0)
+    n_inl_f = n_inl.astype(jnp.float32)
+    # close thresholds are per-1000-features (see TrackingConfig)
+    fscale = cfg.orb.n_features / 1000.0
+    need_close = ((n_close_tracked < tr.kf_close_tracked_max * fscale)
+                  & (n_close_untracked > tr.kf_close_untracked_min * fscale))
+    c1a = frames_since >= tr.max_frames
+    c1b = frames_since >= tr.min_frames
+    c1c = (n_inl_f < tr.kf_collapse_ratio * ref_floor) | need_close
+    c2 = (((n_inl_f < tr.kf_ref_ratio * ref_floor) | need_close)
+          & (n_inl > tr.kf_min_inliers))
+    forced = c1a & (n_inl > tr.kf_min_inliers)
+    need_kf = (~bad & (forced | ((c1b | c1c) & c2))
                & (n_kfs < cfg.map.max_keyframes - 1))
     if localization_only:
         need_kf = jnp.asarray(False)
-        new_state, new_ref, T_post = state, carry.ref_kf, T_new
+        new_state, new_ref, T_post = state, ref_base, T_new
     else:
         new_state, new_ref, T_post = jax.lax.cond(
             need_kf,
-            lambda s: _kf_branch(s, feats, out, T_new, ts, carry.ref_kf,
-                                 cfg),
-            lambda s: (s, carry.ref_kf, T_new),
+            lambda s: _kf_branch(s, feats, out, T_new, ts, ref_base, cfg),
+            lambda s: (s, ref_base, T_new),
             state)
 
     new = LoopCarry(
         map_state=new_state, T_cw=T_post, velocity=vel_new, R_cm=R_new,
-        ref_kf=new_ref, lost=bad, frame_id=carry.frame_id,
+        ref_kf=new_ref, lost=lost_new, frame_id=carry.frame_id,
         last_kf_frame=jnp.where(need_kf, carry.frame_id,
                                 carry.last_kf_frame),
         last_kf_inliers=jnp.where(need_kf, n_inl.astype(jnp.int32),
                                   carry.last_kf_inliers))
-    rec = _pack_record(new, jnp.where(bad, 1.0, 0.0), n_inl, n_mat,
+    rec = _pack_record(new, jnp.where(lost_new, 1.0, 0.0), n_inl, n_mat,
                        need_kf, out.man_ok)
     return new, rec
 
@@ -294,6 +383,7 @@ class DeviceLoopTracker:
         self._records: list = []      # device (REC_SIZE,) buffers
         self._ts: list[float] = []    # host floats (no device trip)
         self._flushed = None
+        self._loop_closer = None      # lazy; see loop_closing_epoch()
 
     def track(self, gray, depth, timestamp: float):
         g = jnp.asarray(gray, jnp.float32)
@@ -309,6 +399,38 @@ class DeviceLoopTracker:
     @property
     def map_state(self) -> MapState:
         return self.carry.map_state
+
+    def loop_closing_epoch(self, loop_closer=None) -> bool:
+        """Online loop closing for the device-resident loop: a BOUNDED
+        host-assist epoch the caller runs every N frames/keyframes (the
+        reference's LoopClosing thread waking up, LoopClosing.cc:57).
+
+        Reads back the current reference-keyframe slot (one small D2H) and
+        hands the device map state to the LoopCloser's detection +
+        correction pipeline; on a correction the carry is re-seated on the
+        corrected pose. Between epochs the per-frame regime stays
+        readback-free, so a long on-device run gets drift correction
+        online instead of only at flush(). Returns True if a loop fired."""
+        from dr_slam_tpu.slam.loop_closing import LoopCloser
+        if loop_closer is None:
+            if self._loop_closer is None:
+                self._loop_closer = LoopCloser(
+                    self.cfg,
+                    consistency_needed=self.cfg.tracking.loop_consistency,
+                    # the epoch is synchronous by design (it IS the bounded
+                    # stall); async GBA would merge into a stale carry
+                    gba_async=False)
+            loop_closer = self._loop_closer
+        ref = int(np.asarray(self.carry.ref_kf))
+        new_state, corrected = loop_closer.process(self.carry.map_state, ref)
+        if corrected:
+            T_c = new_state.kf_pose[jnp.asarray(ref)]
+            R_cm = jnp.where(new_state.manhattan_ok,
+                             T_c[:3, :3] @ new_state.R_wm, self.carry.R_cm)
+            self.carry = self.carry._replace(
+                map_state=new_state, T_cw=T_c, velocity=jnp.eye(4),
+                R_cm=R_cm)
+        return bool(corrected)
 
     def flush(self) -> dict:
         """The ONE readback. Returns {'records': (N, REC_SIZE) np.ndarray,

@@ -131,8 +131,25 @@ class LoopCloser:
     min_kf_gap: int = 10          # temporal exclusion window
     consistency_needed: int = 2   # consecutive detections (reference: 3)
     run_gba: bool = True
+    # run the post-correction global BA ASYNCHRONOUSLY (the reference's
+    # detached GBA thread, LoopClosing.cc:625): _correct only does the
+    # pose-graph solve + seam fuse; the full-map bundle_adjust is dispatched
+    # afterwards (device futures, host never blocks) and its result is
+    # merged at a later keyframe via resolve_gba() once the buffers are
+    # ready -- so the tracking loop never stalls on an O(map) solve.
+    gba_async: bool = True
+    _pending_gba: object = None
     _consistency: dict = field(default_factory=dict)
     _last_fire_seq: int = -1000   # cooldown (mLastLoopKFid, LoopClosing.cc:114)
+    # accepted loop constraints, persisted across corrections: the
+    # reference's essential graph keeps every past loop edge
+    # (KeyFrame::AddLoopEdge consumed by OptimizeEssentialGraph,
+    # Optimizer.cc:2894). Without them, a SECOND correction's weight-1
+    # odometry/covis edges still encode the drift the FIRST correction
+    # removed and can partially undo it (ADVICE r3). Keyed by insertion
+    # sequence so keyframe-slot recycling cannot alias an edge.
+    # entries: (seq_loop, seq_cur, T_rel 4x4 np: T_cur' = T_rel @ T_loop)
+    _accepted_loops: list = field(default_factory=list)
 
     def process(self, state: MapState, cur_kf: int,
                 odom: dict | None = None) -> tuple[MapState, bool]:
@@ -275,6 +292,9 @@ class LoopCloser:
 
             # ---- correction --------------------------------------------------
             state = self._correct(state, cur_kf, best, T_rel, odom)
+            self._accepted_loops.append(
+                (int(seq[best]), int(seq[cur_kf]),
+                 np.asarray(T_rel, dtype=np.float32)))
             self._consistency = {}
             self._last_fire_seq = int(seq[cur_kf])
             return state, True
@@ -354,6 +374,20 @@ class LoopCloser:
                         meas.append(m.astype(np.float32))
                     else:
                         meas.append(poses_np[k] @ np.linalg.inv(poses_np[j]))
+        # past accepted loop edges (the reference's persisted
+        # KeyFrame::mspLoopEdges): without these a later correction's
+        # drift-encoding weight-1 edges can partially undo this one
+        slot_of_seq = {int(seq[s]): int(s) for s in order}
+        for s_loop, s_cur, T_l in self._accepted_loops:
+            a = slot_of_seq.get(s_loop)
+            b = slot_of_seq.get(s_cur)
+            if a is None or b is None:
+                continue  # one endpoint was culled; the constraint is gone
+            edges_i.append(a)
+            edges_j.append(b)
+            weights.append(10.0)
+            meas.append(np.linalg.inv(T_l).astype(np.float32))
+
         edges_i.append(int(loop_kf))
         edges_j.append(int(cur_kf))
         weights.append(10.0)  # strong loop constraint
@@ -369,12 +403,18 @@ class LoopCloser:
 
         first_slot = int(order[0])  # oldest alive keyframe anchors the gauge
         fixed = jnp.zeros(NK, dtype=bool).at[first_slot].set(True)
+        # odometry/covis edges are IRLS-robust (a seam keyframe's recorded
+        # odometry can contain a 0.3-0.6 m gauge jump instead of camera
+        # motion); loop edges -- the weight-10 ones -- are RANSAC-verified
+        # and exempt, else their drift-sized residual self-downweights the
+        # very correction this solve exists to apply (pose_graph.py).
+        robust = jnp.asarray([wgt <= 1.0 for wgt in weights], dtype=bool)
         g = PoseGraph(
             poses=poses, pose_valid=state.kf_valid,
             edge_i=ei, edge_j=ej, edge_T_ij=T_ij,
             edge_valid=jnp.ones(E, dtype=bool),
             edge_weight=jnp.asarray(weights, dtype=jnp.float32),
-            fixed=fixed)
+            fixed=fixed, edge_robust=robust)
         new_poses = optimize_pose_graph(g)
 
         state = _reanchor_map(state, new_poses)
@@ -399,13 +439,74 @@ class LoopCloser:
             state = map_ops.fuse_points_mask(state, jnp.asarray(batch),
                                              fuse_dist=0.10)
 
-        if self.run_gba:
+        if self.run_gba and not self.gba_async:
             prob = problem_from_state(state)
             kf_pose, pt_pos, pl_coef, ln_ep = bundle_adjust(
                 prob, self.cfg.camera.K4, n_gn_iters=4, n_cg_iters=30)
             state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos,
                                    pl_coef=pl_coef, ln_ep=ln_ep)
         return state
+
+    # ------------------------------------------------------------------
+    def dispatch_gba(self, state: MapState, guard_gen: int = 0) -> None:
+        """Start the post-correction global BA WITHOUT blocking: the solve
+        is dispatched as device programs whose outputs stay futures (the
+        reference's RunGlobalBundleAdjustment detached thread,
+        LoopClosing.cc:625/:691). Call resolve_gba() later to merge."""
+        if not (self.run_gba and self.gba_async):
+            return
+        prob = problem_from_state(state)
+        out = bundle_adjust(prob, self.cfg.camera.K4,
+                            n_gn_iters=4, n_cg_iters=30)
+        self._pending_gba = (out, state.kf_valid, state.kf_seq,
+                             state.pt_valid, state.pl_valid, state.ln_valid,
+                             guard_gen)
+
+    def resolve_gba(self, state: MapState, guard_gen: int = 0,
+                    block: bool = False) -> MapState | None:
+        """Merge a completed async GBA into the CURRENT state, or None if
+        nothing is pending / the result has not landed yet / the map was
+        destructively mutated since dispatch.
+
+        Merge rule (the slot-table analog of the reference's post-GBA map
+        re-anchoring, LoopClosing.cc:706-790): BA results apply only to
+        slots that still hold the SAME entity as at dispatch -- keyframes by
+        (valid, insertion seq), landmarks by (valid-at-both AND a bounded
+        position delta, since landmark slots carry no sequence number and a
+        recycled slot would otherwise inherit a foreign position). Entities
+        created after dispatch keep their current estimates: they were
+        tracked in the already-pose-graph-corrected gauge, so the residual
+        GBA polish they miss is small and the next local BA reconciles it."""
+        if self._pending_gba is None:
+            return None
+        (out, sv_d, ss_d, spt_d, spl_d, sln_d, gen) = self._pending_gba
+        if gen != guard_gen:
+            self._pending_gba = None   # reloc/reset/load since dispatch
+            return None
+        kf_pose_ba, pt_ba, pl_ba, ln_ba = out
+        try:
+            if not (block or kf_pose_ba.is_ready()):
+                return None            # still computing; try at the next KF
+        except AttributeError:
+            pass                       # non-jax array: treat as ready
+        self._pending_gba = None
+        snap_valid = np.asarray(sv_d)
+        snap_seq = np.asarray(ss_d)
+        same_kf = jnp.asarray(snap_valid) & state.kf_valid \
+            & (jnp.asarray(snap_seq) == state.kf_seq)
+        kf_pose = jnp.where(same_kf[:, None, None], kf_pose_ba,
+                            state.kf_pose)
+        same_pt = jnp.asarray(np.asarray(spt_d)) & state.pt_valid \
+            & (jnp.linalg.norm(pt_ba - state.pt_pos, axis=-1) < 0.5)
+        pt_pos = jnp.where(same_pt[:, None], pt_ba, state.pt_pos)
+        same_pl = jnp.asarray(np.asarray(spl_d)) & state.pl_valid \
+            & (jnp.linalg.norm(pl_ba - state.pl_coef, axis=-1) < 0.5)
+        pl_coef = jnp.where(same_pl[:, None], pl_ba, state.pl_coef)
+        same_ln = jnp.asarray(np.asarray(sln_d)) & state.ln_valid \
+            & (jnp.linalg.norm(ln_ba - state.ln_ep, axis=-1) < 1.0)
+        ln_ep = jnp.where(same_ln[:, None], ln_ba, state.ln_ep)
+        return state._replace(kf_pose=kf_pose, pt_pos=pt_pos,
+                              pl_coef=pl_coef, ln_ep=ln_ep)
 
 
 @jax.jit

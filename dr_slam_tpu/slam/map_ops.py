@@ -38,6 +38,7 @@ from dr_slam_tpu.config import SlamConfig
 from dr_slam_tpu.frontend.frame import FrameFeatures
 from dr_slam_tpu.geometry import se3
 from dr_slam_tpu.ops import orb as orb_ops
+from dr_slam_tpu.associate.vocabulary import word_ids as _vocab_word_ids
 from dr_slam_tpu.ops.hamming import hamming_matrix
 from dr_slam_tpu.optimize.pose_opt import PoseObservations
 from dr_slam_tpu.slam.state import MapState
@@ -190,10 +191,26 @@ def match_reference_kf(state: MapState, kf_id, kp_desc, kp_valid,
     ok = (best_d <= max_hamming) & (best_d < ratio * second)
     best_i = jnp.argmin(D, 0)
     ok &= best_i[best_j] == k_idx
-    mp_idx = jnp.where(ok, state.kf_mp[kf_id][best_j], -1)
-    # a map point may win twice through different features; keep first
+    # a map point may win through two different keypoints (two frame
+    # features matching two distinct keyframe features that observe the
+    # same landmark); keep exactly one -- the reference's SearchByBoW is
+    # one-to-one by construction (ORBmatcher.cc:160). Without this, the
+    # duplicated observation double-counts in the pose solve and in the
+    # keyframe-insertion obs statistics.
+    mp_idx = dedup_matches(jnp.where(ok, state.kf_mp[kf_id][best_j], -1),
+                           state.pt_pos.shape[0])
     return PointMatches(mp_idx=mp_idx, n_matches=jnp.sum(mp_idx >= 0),
                         visible=state.pt_valid)
+
+
+def dedup_matches(mp_idx: jnp.ndarray, n_points: int) -> jnp.ndarray:
+    """(K,) map-point ids with possible duplicates -> one keypoint per map
+    point (ownership-table scatter; the duplicate loses its match)."""
+    K = mp_idx.shape[0]
+    k_idx = jnp.arange(K, dtype=jnp.int32)
+    tgt = jnp.where(mp_idx >= 0, mp_idx, n_points)   # n_points = dump row
+    owner = jnp.full(n_points + 1, -1, jnp.int32).at[tgt].set(k_idx)
+    return jnp.where(owner[jnp.clip(mp_idx, 0)] == k_idx, mp_idx, -1)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -461,6 +478,11 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
         kf_kp_valid=state.kf_kp_valid.at[k].set(feats.kp.valid),
         kf_mp=state.kf_mp.at[k].set(kf_mp_row),
         kf_bow=state.kf_bow.at[k].set(bow),
+        # cache per-feature word ids once at insertion (DBoW2 computes the
+        # FeatureVector once in the KeyFrame ctor); track_step reads
+        # state.kf_word[ref_kf] instead of re-running the assignment matmul
+        kf_word=state.kf_word.at[k].set(
+            _vocab_word_ids(feats.kp.desc, state.kf_bow.shape[1])),
         n_kfs=jnp.sum(state.kf_valid.at[k].set(True)).astype(jnp.int32),
     )
 

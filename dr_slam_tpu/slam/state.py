@@ -61,6 +61,11 @@ class MapState(NamedTuple):
     kf_kp_valid: jnp.ndarray   # (NK, K) bool
     kf_mp: jnp.ndarray         # (NK, K) int32 map-point id or -1
     kf_bow: jnp.ndarray        # (NK, W) float32 tf-idf BoW vector
+    kf_word: jnp.ndarray       # (NK, K) int32 per-feature vocabulary word id
+                               #   (DBoW2 FeatureVector equivalent) -- cached
+                               #   at insertion so SearchByBoW-style matching
+                               #   never recomputes the (K,256)x(256,W)
+                               #   assignment matmul per frame
     # structural observation tables (per keyframe): the reference's
     # KeyFrame::AddMapPlane / AddMapLine observation maps (KeyFrame.h), the
     # inputs to LocalBA/GBA plane+line edges (Optimizer.cc:2441-2562)
@@ -120,6 +125,7 @@ def make_empty_state(cfg: SlamConfig) -> MapState:
         kf_sigma2=jnp.ones((NK, K)), kf_angle=z((NK, K)),
         kf_kp_valid=z((NK, K), bool),
         kf_mp=jnp.full((NK, K), -1, jnp.int32), kf_bow=z((NK, W)),
+        kf_word=z((NK, K), jnp.int32),
         kf_pl=jnp.full((NK, Fp), -1, jnp.int32),
         kf_pl_par=jnp.full((NK, Fp), -1, jnp.int32),
         kf_pl_ver=jnp.full((NK, Fp), -1, jnp.int32),

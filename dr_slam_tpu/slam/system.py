@@ -68,20 +68,27 @@ class System:
             self._live = LiveViewer(self, port=live_viewer_port)
 
     def _load_default_vocabulary(self):
-        """Register the shipped trained BoW codebook when its word count
-        matches the config (the reference loads ORBvoc.txt at startup,
-        System.cc:51; ours is trained by scripts/train_vocab.py)."""
+        """Register the shipped trained BoW codebook matching the config's
+        word count (the reference loads ORBvoc.txt at startup, System.cc:51;
+        ours is trained by scripts/train_vocab.py). Shipped artifacts:
+        data/vocab.npz (4096 words, the default config) and
+        data/vocab512.npz (512 words, the reduced test configs)."""
         import numpy as _np
         from dr_slam_tpu.associate import vocabulary as voc
-        path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "data", "vocab.npz")
-        if os.path.exists(path):
+        W = self.cfg.map.vocab_words
+        data_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data")
+        for name in (f"vocab{W}.npz", "vocab.npz"):
+            path = os.path.join(data_dir, name)
+            if not os.path.exists(path):
+                continue
             try:
                 words = _np.load(path)["words"]
-                if words.shape[0] == self.cfg.map.vocab_words:
-                    voc.set_vocabulary(words)
             except Exception:
-                pass
+                continue
+            if words.shape[0] == W:
+                voc.set_vocabulary(words)
+                return
 
     # -- main API ----------------------------------------------------------
     def track_rgbd(self, gray, depth, timestamp: float, gt_R=None):
@@ -138,6 +145,18 @@ class System:
                 self.cfg,
                 consistency_needed=self.cfg.tracking.loop_consistency)
         from dr_slam_tpu.utils.profiling import PROFILER
+        tr0 = self.tracker
+        # async-GBA resolution (the reference's detached GBA thread joining
+        # back, LoopClosing.cc:691): merge a landed result before detection,
+        # never blocking -- if the buffers are still in flight, try again at
+        # the next keyframe
+        with PROFILER.span("loop.resolve_gba"):
+            merged = self._loop_closer.resolve_gba(tr0.map_state,
+                                                   guard_gen=tr0._hard_gen)
+        if merged is not None:
+            tr0.map_state = merged
+            tr0._map_gen += 1   # additive: pending frames re-apply stats
+            self.metrics.log("gba_merged", kf=tr0.ref_kf)
         with PROFILER.span("loop.process"):
             new_state, corrected = self._loop_closer.process(
                 self.tracker.map_state, self.tracker.ref_kf,
@@ -158,6 +177,11 @@ class System:
             if bool(new_state.manhattan_ok):
                 tr.R_cm = T_c[:3, :3] @ new_state.R_wm
             self.metrics.log("loop_closed", kf=tr.ref_kf)
+            # detached global BA (LoopClosing.cc:625): dispatch now, merge
+            # at a later keyframe via resolve_gba -- the tracking loop never
+            # waits for the O(map) solve
+            self._loop_closer.dispatch_gba(tr.map_state,
+                                           guard_gen=tr._hard_gen)
 
     # -- modes (System.cc:338-354) ------------------------------------------
     def activate_localization_mode(self):
@@ -235,6 +259,15 @@ class System:
 
     def shutdown(self, save_dir: Optional[str] = None):
         self.tracker.flush()
+        if self._loop_closer is not None:
+            # join the detached GBA (the reference blocks shutdown on its
+            # GBA thread too, System.cc:356-377)
+            merged = self._loop_closer.resolve_gba(
+                self.tracker.map_state, guard_gen=self.tracker._hard_gen,
+                block=True)
+            if merged is not None:
+                self.tracker.map_state = merged
+                self.tracker._map_gen += 1
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
             self.save_trajectory_tum(os.path.join(save_dir, "CameraTrajectory.txt"))

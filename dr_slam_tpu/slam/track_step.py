@@ -40,8 +40,9 @@ class TrackStepOut(NamedTuple):
                                # device so the host runs NO eager math per
                                # frame (each mini-program activation costs
                                # ~50-100 ms on the tunneled runtime)
-    bundle: jnp.ndarray        # (20,) f32: T_cw.ravel() ++ [n_inliers,
-                               # n_matches, man_ok, jump] -- ONE host
+    bundle: jnp.ndarray        # (23,) f32: T_cw.ravel() ++ [n_inliers,
+                               # n_matches, man_ok, jump, n_close_tracked,
+                               # n_close_untracked, ref_tracked] -- ONE host
                                # readback per frame instead of six (each
                                # fresh-buffer D2H costs ~90 ms on the axon
                                # tunnel; a completed one 1.2 ms)
@@ -81,9 +82,11 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
     tr = cfg.tracking
 
     # --- Manhattan rotation tracking (Tracking.cc:328-332) ----------------
+    # line evidence: man_dir/man_ok = metric 3D directions where depth
+    # backed the lift, vanishing-point directions otherwise (Frame.cc:306)
     man = track_manhattan_frame(
         R_cm_prev, feats.normals, feats.normals_valid,
-        feats.lines.dir3d, feats.lines.has3d,
+        feats.lines.man_dir, feats.lines.man_ok,
         cone_normals=cfg.manhattan.cone_angle_normals,
         cone_lines=cfg.manhattan.cone_angle_lines,
         kernel=cfg.manhattan.mean_shift_kernel,
@@ -106,19 +109,31 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
     if tr.use_ref_kf_anchor:
         # BoW-word-bucketed SearchByBoW (ORBmatcher.cc:160): same-word
         # restriction is what makes a pose-free descriptor match safe on
-        # repetitive texture (TrackReferenceKeyFrame, Tracking.cc:2304)
+        # repetitive texture (TrackReferenceKeyFrame, Tracking.cc:2304).
+        # Wrapped in lax.cond so the steady state (motion model healthy,
+        # Tracking.cc:370-375 takes the fallback only on collapse) skips
+        # both the frame-side word-assignment matmul (K,256)x(256,W) and
+        # the KxK Hamming matmul entirely; the keyframe-side word ids are
+        # cached in state.kf_word at insertion, never recomputed.
         from dr_slam_tpu.associate.vocabulary import word_ids
-        kpw = word_ids(feats.kp.desc, cfg.map.vocab_words)
-        kfw = word_ids(state.kf_desc[ref_kf], cfg.map.vocab_words)
-        ref = map_ops.match_reference_kf(state, ref_kf, feats.kp.desc,
-                                         feats.kp.valid,
-                                         kp_word=kpw, kf_word=kfw)
-        # strict FALLBACK, not a blend (Tracking.cc:370-375): pose-free
-        # descriptor matches only replace the motion-model associations
-        # when projection matching has collapsed -- otherwise they can
-        # override geometrically-gated matches with aliased ones
+
         use_ref = pm.n_matches < 20
-        mp_idx = jnp.where(use_ref & (ref.mp_idx >= 0), ref.mp_idx, mp_idx)
+
+        def _ref_fallback(_):
+            kpw = word_ids(feats.kp.desc, cfg.map.vocab_words)
+            ref = map_ops.match_reference_kf(
+                state, ref_kf, feats.kp.desc, feats.kp.valid,
+                kp_word=kpw, kf_word=state.kf_word[ref_kf])
+            return ref.mp_idx
+
+        ref_idx = jax.lax.cond(
+            use_ref, _ref_fallback,
+            lambda _: jnp.full_like(mp_idx, -1), operand=None)
+        # strict FALLBACK, not a blend: pose-free descriptor matches only
+        # replace the motion-model associations when projection matching
+        # has collapsed -- otherwise they can override geometrically-gated
+        # matches with aliased ones
+        mp_idx = jnp.where(use_ref & (ref_idx >= 0), ref_idx, mp_idx)
         T_pred = jnp.where(use_ref, T_last, T_pred)
 
     plane_m = map_ops.match_planes(
@@ -196,6 +211,30 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
     # --- bookkeeping (MapPoint Increase{Visible,Found}) ---------------------
     new_state = map_ops.update_point_stats(state, pm2.visible, mp_idx2)
 
+    # --- NeedNewKeyFrame inputs (Tracking.cc:2944-2964) ---------------------
+    # close = depth-bearing keypoints nearer than mThDepth; tracked = holding
+    # a map-point association after stage 2. ref_tracked mirrors
+    # KeyFrame::TrackedMapPoints(nMinObs): the reference keyframe's live
+    # map-point observations with >= nMinObs observers (nMinObs = 3, or 2
+    # while the map holds <= 2 keyframes).
+    close = feats.kp.valid & (feats.kp_depth > 1e-3) \
+        & (feats.kp_depth < cam.th_depth_m)
+    n_close_tracked = jnp.sum(close & (mp_idx2 >= 0))
+    n_close_untracked = jnp.sum(close & (mp_idx2 < 0))
+    ref_mp = state.kf_mp[ref_kf]
+    # The reference uses TrackedMapPoints(nMinObs=3): its per-frame temporal
+    # map-point creation (UpdateLastFrame) keeps observation counts high, so
+    # that filter still leaves hundreds. Here observations accrue only at
+    # keyframe insertion, so an obs>=3 filter collapses the denominator
+    # right after the 3rd keyframe (measured: 96 vs ~200 inliers) and the
+    # c2 gate deadlocks -- no keyframe can ever be inserted again. The
+    # live-point count of the reference keyframe's row serves the same
+    # intent (how much of the reference view is still available to track)
+    # without the chicken-and-egg: slot culling already removes unreliable
+    # points, which is what the obs floor guarded against.
+    ref_tracked = jnp.sum((ref_mp >= 0)
+                          & state.pt_valid[jnp.clip(ref_mp, 0)])
+
     # refreshed Manhattan rotation from the optimized pose (Tracking.cc:516)
     R_cm_new = jnp.where(state.manhattan_ok,
                          T_cur[:3, :3] @ state.R_wm, R_cm_prev)
@@ -205,7 +244,10 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
         T_cur.reshape(-1),
         jnp.stack([opt2.n_inliers.astype(jnp.float32),
                    pm.n_matches.astype(jnp.float32),
-                   man_ok.astype(jnp.float32), jump])])
+                   man_ok.astype(jnp.float32), jump,
+                   n_close_tracked.astype(jnp.float32),
+                   n_close_untracked.astype(jnp.float32),
+                   ref_tracked.astype(jnp.float32)])])
     return TrackStepOut(
         T_cw=T_cur, R_cm=R_cm_new, n_matches=pm.n_matches,
         n_inliers=opt2.n_inliers, man_ok=man_ok, jump=jump,

@@ -249,12 +249,12 @@ class Tracker:
         R_cm, mok = find_manhattan(
             feats.planes.coeffs[:, :3], feats.planes.valid,
             feats.planes.n_blocks.astype(jnp.float32),
-            feats.lines.dir3d, feats.lines.has3d,
+            feats.lines.man_dir, feats.lines.man_ok,
             vertical_cos=self.cfg.plane.vertical_threshold)
         if bool(mok):
             out = track_manhattan_frame(
                 R_cm, feats.normals, feats.normals_valid,
-                feats.lines.dir3d, feats.lines.has3d,
+                feats.lines.man_dir, feats.lines.man_ok,
                 cone_normals=self.cfg.manhattan.cone_angle_normals,
                 cone_lines=self.cfg.manhattan.cone_angle_lines,
                 kernel=self.cfg.manhattan.mean_shift_kernel,
@@ -270,8 +270,10 @@ class Tracker:
         lm = jnp.full((self.cfg.line.max_lines,), -1, jnp.int32)
         bow = compute_bow(feats.kp.desc, feats.kp.valid,
                           self.cfg.map.vocab_words)
-        self.map_state, kf_id = map_ops.add_keyframe(
-            self.map_state, feats, T0, ts, no_match, pm, lm, bow, self.cfg)
+        with PROFILER.span("kf.add"):
+            self.map_state, kf_id = map_ops.add_keyframe(
+                self.map_state, feats, T0, ts, no_match, pm, lm, bow,
+                self.cfg)
         # world frame = first camera; Manhattan axes in world = R_cm
         self.map_state = self.map_state._replace(
             R_wm=R_cm, manhattan_ok=jnp.asarray(bool(mok)))
@@ -296,10 +298,12 @@ class Tracker:
         cfg = self.cfg
         out = track_step(self.map_state, feats, self.T_cw, self.velocity,
                          self.R_cm, self._ref_kf_dev(), cfg)
-        # single host readback of the per-frame scalars
-        n_inliers, n_matches, man_ok, jump = (
-            int(out.n_inliers), int(out.n_matches), bool(out.man_ok),
-            float(out.jump))
+        # single host readback of the per-frame scalars (the packed bundle;
+        # separate int()/float() casts each cost a blocking round-trip on
+        # tunneled runtimes)
+        b = np.asarray(out.bundle)
+        n_inliers, n_matches = int(b[16]), int(b[17])
+        man_ok, jump = bool(b[18] > 0.5), float(b[19])
         T_cur = out.T_cw
 
         # failure detection (SURVEY.md section 5): reject implausible updates
@@ -324,23 +328,62 @@ class Tracker:
         self.R_cm = out.R_cm
         self.state = TrackState.OK
 
-        is_kf = self._maybe_insert_keyframe(feats, out, ts, self.frame_id,
-                                            n_inliers)
+        is_kf = self._maybe_insert_keyframe(
+            feats, out, ts, self.frame_id, n_inliers,
+            n_close_tracked=int(b[20]), n_close_untracked=int(b[21]),
+            ref_tracked=int(b[22]))
         return TrackingResult(np.asarray(self.T_cw), self.state, n_inliers,
                               n_matches, man_ok, is_kf, ts)
 
     # ------------------------------------------------------------------
     def _maybe_insert_keyframe(self, feats: FrameFeatures, out, ts: float,
-                               frame_id: int, n_inliers: int) -> bool:
+                               frame_id: int, n_inliers: int,
+                               n_close_tracked: int = 0,
+                               n_close_untracked: int = 0,
+                               ref_tracked: int = 0) -> bool:
         """NeedNewKeyFrame (Tracking.cc:2907) + CreateNewKeyFrame (:3040) +
         the synchronous LocalMapping pass (culling, triangulation, fuse,
         BA, keyframe culling). `out` is the frame's TrackStepOut; the
-        tracker pose must already be seated on out.T_cw."""
+        tracker pose must already be seated on out.T_cw.
+
+        The keyframe decision is the reference's RGB-D gate set
+        (Tracking.cc:2944-3000): c1a forces consideration after max_frames;
+        c1b after min_frames (LocalMapping here is synchronous, i.e. always
+        idle); c1c fires on tracking collapse vs the reference keyframe or
+        on close-point starvation (bNeedToInsertClose); c2 requires the
+        frame to actually add information (inliers below kf_ref_ratio of
+        the reference keyframe's tracked points, or close-point
+        starvation), with an absolute inlier floor. A stationary camera
+        therefore inserts almost no keyframes (c2 stays false; only the
+        forced max_frames anchor fires, and culling reclaims it if
+        redundant)."""
         cfg = self.cfg
+        tr = cfg.tracking
         frames_since = frame_id - self.last_kf_frame
-        need_kf = (not self.only_tracking
-                   and (frames_since >= cfg.tracking.min_frames
-                        or n_inliers < 0.5 * max(self.last_kf_inliers, 100)))
+        # close thresholds are per-1000-features (see TrackingConfig)
+        fscale = cfg.orb.n_features / 1000.0
+        need_close = (n_close_tracked < tr.kf_close_tracked_max * fscale
+                      and n_close_untracked > tr.kf_close_untracked_min
+                      * fscale)
+        ref_floor = max(ref_tracked, 1)
+        c1a = frames_since >= tr.max_frames
+        c1b = frames_since >= tr.min_frames
+        c1c = n_inliers < tr.kf_collapse_ratio * ref_floor or need_close
+        c2 = ((n_inliers < tr.kf_ref_ratio * ref_floor or need_close)
+              and n_inliers > tr.kf_min_inliers)
+        # c1a (max_frames) FORCES a keyframe past the c2 information gate
+        # (VERDICT r4 item 6): a long c2-quiet stretch must still anchor a
+        # fresh reference keyframe; KeyFrameCulling reclaims it if it turns
+        # out redundant (insert-generously-cull-later, LocalMapping.cc:1226)
+        forced = c1a and n_inliers > tr.kf_min_inliers
+        need_kf = (not self.only_tracking) \
+            and (forced or ((c1b or c1c) and c2))
+        # gate-input snapshot for diagnostics (host ints, no device cost)
+        self._kf_gate_dbg = dict(
+            frame=frame_id, inliers=n_inliers, close_tracked=n_close_tracked,
+            close_untracked=n_close_untracked, ref_tracked=ref_tracked,
+            frames_since=frames_since, need_close=need_close,
+            c1a=c1a, c1b=c1b, c1c=c1c, c2=c2, need_kf=need_kf)
         if not need_kf or self._n_kfs_host >= cfg.map.max_keyframes - 1:
             return False
         T_cur = out.T_cw
@@ -561,7 +604,10 @@ class Tracker:
                 # after an insertion pay it)
                 self.map_state = map_ops.update_point_stats(
                     self.map_state, out.visible, out.mp_idx)
-            self._maybe_insert_keyframe(feats, out, ts, frame_id, n_inliers)
+            self._maybe_insert_keyframe(
+                feats, out, ts, frame_id, n_inliers,
+                n_close_tracked=int(b[20]), n_close_untracked=int(b[21]),
+                ref_tracked=int(b[22]))
 
     # ------------------------------------------------------------------
     def _map_ba(self, center_kf=None):
@@ -644,8 +690,7 @@ class Tracker:
                 st, jnp.asarray(int(kf_id)), feats.kp.desc, feats.kp.valid,
                 max_hamming=map_ops.TH_HIGH,
                 kp_word=word_ids(feats.kp.desc, cfg.map.vocab_words),
-                kf_word=word_ids(st.kf_desc[int(kf_id)],
-                                 cfg.map.vocab_words))
+                kf_word=st.kf_word[int(kf_id)])
             if _dbg:
                 print(f"[reloc]  kf={int(kf_id)} n_matches={int(ref.n_matches)}", flush=True)
             if int(ref.n_matches) < 15:

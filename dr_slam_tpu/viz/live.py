@@ -13,13 +13,21 @@ server any browser (or curl) can attach to while SLAM runs:
     /frame.mjpg  same for the frame overlay
     /state.json  pose, tracking state, landmark/keyframe counts, fps
 
-Design constraints, TPU-first: rendering runs on the HOST from already-host
-copies (the tracker's TrackingResult pose and the numpy views the overlay
-needs) on a background thread, rate-limited, so the device pipeline is
-never stalled by matplotlib; a slow or absent browser costs nothing (the
-server holds only the latest encoded PNG per view, no backlog). This is the
-same decoupling the reference gets from its separate Viewer thread
-(System.cc:152-156) — redesigned so NO GUI dependency exists on the host.
+Design constraints, TPU-first: update() on the tracking thread does ONLY a
+rate check + a latest-wins job handoff -- no device readback, no encoding.
+A dedicated render worker (one per viewer) performs the state snapshot
+(the only device->host readbacks, so they happen at most once per rendered
+frame and never on the tracking thread), the matplotlib render and the PNG
+encode, then notifies the MJPEG streams exactly once per NEW image; a slow
+or absent browser costs nothing (the server holds only the latest encoded
+PNG per view, no backlog). This is the same decoupling the reference gets
+from its separate Viewer thread (System.cc:152-156) — redesigned so NO GUI
+dependency exists on the host.
+
+NOTE on tunneled-TPU runtimes: any device readback degrades the transport
+for the whole process (docs/ROUND3_NOTES.md), so even the worker's
+rate-limited snapshot puts a tunneled run on the slower path — enable the
+live viewer for interactive inspection, not benchmark runs.
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ import io
 import json
 import threading
 import time
+import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -50,9 +59,10 @@ JSON.stringify(await r.json(),null,1);}catch(e){}},500);</script>
 class LiveViewer:
     """Attach to a `System` (or any object with `.tracker`): call
     `update(result, gray=None, feats=None, detections=None)` per frame.
-    Rendering + encoding happen on this thread but only every `every`
-    frames and never faster than `min_period` seconds; HTTP serving is
-    fully asynchronous."""
+    update() only enqueues (latest-wins) every `every` frames and never
+    faster than `min_period` seconds; state snapshot, rendering and
+    encoding run on a background worker; HTTP serving is fully
+    asynchronous. flush() blocks until the worker drained the last job."""
 
     def __init__(self, system, host: str = "127.0.0.1", port: int = 0,
                  every: int = 10, min_period: float = 0.5):
@@ -66,6 +76,15 @@ class LiveViewer:
         self._last_render = 0.0
         self._t0 = time.perf_counter()
         self._new = threading.Condition(self._lock)
+        # latest-wins render job queue (depth 1) + its worker thread
+        self._job = None
+        self._job_lock = threading.Lock()
+        self._job_ev = threading.Event()
+        self._idle = threading.Event()
+        self._idle.set()
+        self._closing = False
+        self._worker = threading.Thread(target=self._work_loop, daemon=True)
+        self._worker.start()
 
         viewer = self
 
@@ -134,31 +153,68 @@ class LiveViewer:
     # ------------------------------------------------------------------
     def update(self, result, gray=None, feats_fn=None,
                detections=None) -> None:
-        """feats_fn: zero-arg callable returning FrameFeatures — called ONLY
-        on frames that actually render, so the (viewer-only) extra feature
-        extraction never lands on skipped frames."""
+        """Tracking-thread side: rate check + latest-wins job handoff ONLY.
+        No device readback, no rendering, no stream notification happens
+        here — skipped frames cost a counter increment and a clock read.
+
+        feats_fn: zero-arg callable returning FrameFeatures — called ONLY
+        on frames that actually render (by the worker), so the viewer-only
+        extra feature extraction never lands on skipped frames."""
         self._count += 1
-        tr = self.system.tracker
         now = time.perf_counter()
-        with self._lock:
-            self._state = {
-                "frame": self._count,
-                "state": getattr(result, "state", None)
-                and str(result.state.name),
-                "n_inliers": int(getattr(result, "n_inliers", 0)),
-                "n_keyframes": int(np.asarray(tr.map_state.kf_valid).sum()),
-                "n_points": int(np.asarray(tr.map_state.pt_valid).sum()),
-                "n_planes": int(np.asarray(tr.map_state.pl_valid).sum()),
-                "t_wc": np.linalg.inv(
-                    np.asarray(result.T_cw))[:3, 3].round(4).tolist(),
-                "fps": round(self._count / max(now - self._t0, 1e-9), 2),
-            }
         if (self._count % self.every or
                 now - self._last_render < self.min_period):
-            with self._new:
-                self._new.notify_all()
             return
         self._last_render = now
+        with self._job_lock:
+            self._job = (self._count, result, gray, feats_fn, detections,
+                         now)
+            self._idle.clear()
+            self._job_ev.set()
+
+    def flush(self, timeout: float = 30.0) -> None:
+        """Block until the render worker has drained the pending job (call
+        before asserting on served content, or at shutdown)."""
+        self._idle.wait(timeout)
+
+    # ------------------------------------------------------------------
+    def _work_loop(self) -> None:
+        while True:
+            self._job_ev.wait()
+            if self._closing:
+                return
+            with self._job_lock:
+                job, self._job = self._job, None
+                self._job_ev.clear()
+            if job is None:
+                continue
+            try:
+                self._process(job)
+            except Exception:   # the viewer must never kill tracking
+                traceback.print_exc()
+            with self._job_lock:
+                if self._job is None:
+                    self._idle.set()
+
+    def _process(self, job) -> None:
+        count, result, gray, feats_fn, detections, now = job
+        tr = self.system.tracker
+        # the ONLY device->host readbacks in the viewer: once per rendered
+        # frame, on this worker thread, never on the tracking thread
+        state = {
+            "frame": count,
+            "state": getattr(result, "state", None)
+            and str(result.state.name),
+            "n_inliers": int(getattr(result, "n_inliers", 0)),
+            "n_keyframes": int(np.asarray(tr.map_state.kf_valid).sum()),
+            "n_points": int(np.asarray(tr.map_state.pt_valid).sum()),
+            "n_planes": int(np.asarray(tr.map_state.pl_valid).sum()),
+            "t_wc": np.linalg.inv(
+                np.asarray(result.T_cw))[:3, 3].round(4).tolist(),
+            "fps": round(count / max(now - self._t0, 1e-9), 2),
+        }
+        with self._lock:
+            self._state = state
         self._render(gray, feats_fn() if feats_fn else None, detections)
 
     def _render(self, gray, feats, detections) -> None:
@@ -176,5 +232,8 @@ class LiveViewer:
             self._new.notify_all()
 
     def close(self) -> None:
+        self._closing = True
+        self._job_ev.set()
+        self._worker.join(timeout=5.0)
         self._httpd.shutdown()
         self._httpd.server_close()

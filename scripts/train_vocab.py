@@ -36,10 +36,33 @@ def main():
             f = extract_frame(fr.gray, fr.depth, cfg)
             descs.append(np.asarray(f.kp.desc)[np.asarray(f.kp.valid)])
     else:
-        seqs = [synthetic.corridor_trajectory(args.frames),
-                synthetic.loop_trajectory(args.frames)]
-        for poses in seqs:
-            seq = synthetic.SyntheticSequence(poses, K4=cfg.camera.K4)
+        # five scene families (VERDICT r3 next-step 3): the two the
+        # acceptance constants were first tuned on, the cluttered office,
+        # and two NEW worlds (different room geometry => different texture
+        # layout, Kinect-like depth noise) so the codebook is not
+        # overfitted to one wall pattern
+        room_small = synthetic.BoxRoom(xmax=2.6, ymax=2.2, zmax=3.4)
+        room_hall = synthetic.BoxRoom(xmax=7.0, ymax=3.5, zmax=10.0)
+        worlds = [
+            # (poses, room, clutter boxes, quadratic depth noise)
+            (synthetic.corridor_trajectory(args.frames), None, None, False),
+            (synthetic.loop_trajectory(args.frames), None, None, False),
+            (synthetic.loop_trajectory(args.frames), None,
+             synthetic.office_clutter(n_boxes=6, seed=3), False),
+            (synthetic.corridor_trajectory(args.frames, room=room_small,
+                                           step=0.012), room_small,
+             synthetic.office_clutter(room_small, n_boxes=4, seed=11), True),
+            (synthetic.loop_trajectory(args.frames, room=room_hall),
+             room_hall,
+             synthetic.office_clutter(room_hall, n_boxes=8, seed=7), False),
+        ]
+        for poses, room, boxes, qnoise in worlds:
+            kw = {}
+            if room is not None:
+                kw["room"] = room
+            seq = synthetic.SyntheticSequence(
+                poses, K4=cfg.camera.K4, boxes=boxes,
+                depth_noise=qnoise, quadratic_noise=qnoise, **kw)
             for i in range(0, len(seq), 2):
                 gray, depth = seq.render(i)
                 f = extract_frame(gray, depth, cfg)

@@ -3,6 +3,7 @@ reference's Pangolin window must serve the dashboard, the latest map and
 frame renders, and live state while the system tracks."""
 
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -31,6 +32,9 @@ def test_live_viewer_serves_while_tracking():
         for i in range(n):
             g, d = seq.render(i)
             sys_.track_rgbd(np.asarray(g), np.asarray(d), i / 30.0)
+        # rendering is asynchronous (latest-wins worker): drain it before
+        # asserting on the served content
+        sys_._live.flush()
 
         code, ctype, body = _get(port, "/")
         assert code == 200 and "text/html" in ctype

@@ -22,12 +22,17 @@ def corridor_run():
     from dr_slam_tpu.slam.system import System
 
     cfg0 = small_cfg()
+    # kf_ref_ratio near 1: insert on the slightest overlap decay. The
+    # reference-faithful default (0.75) correctly inserts only ~3 keyframes
+    # on this slow corridor; this test is about CULLING under pressure, so
+    # the policy is deliberately made trigger-happy to overflow capacity.
     cfg = cfg0.replace(
         map=dataclasses.replace(cfg0.map, max_keyframes=12),
-        tracking=dataclasses.replace(cfg0.tracking, min_frames=3))
+        tracking=dataclasses.replace(cfg0.tracking, min_frames=3,
+                                     kf_ref_ratio=0.995))
     n = 70
     seq = synthetic.SyntheticSequence(
-        synthetic.corridor_trajectory(n, step=0.01), K4=cfg.camera.K4,
+        synthetic.corridor_trajectory(n, step=0.02), K4=cfg.camera.K4,
         height=240, width=320)
     sysm = System(cfg, enable_loop_closing=False)
     states = []

@@ -99,7 +99,8 @@ def _feats_for_kf(cfg, kp_desc0, kp_valid0=True, line=None):
         seg2d=z((L, 4)), lineq=z((L, 3)).at[:, 2].set(1.0),
         desc=z((L, 8), jnp.uint32),
         dir3d=z((L, 3)).at[:, 0].set(1.0), ep3d=z((L, 6)),
-        has3d=z(L, bool), valid=z(L, bool), response=z(L))
+        has3d=z(L, bool), valid=z(L, bool), response=z(L),
+        man_dir=z((L, 3)).at[:, 0].set(1.0), man_ok=z(L, bool))
     if line is not None:
         ep3d, dir3d = line
         lf = lf._replace(ep3d=lf.ep3d.at[0].set(jnp.asarray(ep3d)),
