@@ -41,6 +41,12 @@ def load_map(path: str, cfg: SlamConfig) -> MapState:
                          cfg.map.vocab_words)
             fields[k] = w.reshape(NK, K).astype(tmpl.dtype)
             continue
+        if k in ("pt_dist_min", "pt_dist_max") and k not in data:
+            # maps saved before scale-invariance bounds existed: zeros mean
+            # "no gate" in match_points_projection; re-observation refreshes
+            # the band as tracking resumes
+            fields[k] = tmpl
+            continue
         arr = data[k]
         if arr.shape != tmpl.shape:
             raise ValueError(

@@ -249,7 +249,9 @@ def _reloc_attempt(carry: LoopCarry, feats, cfg: SlamConfig):
     verify = map_ops.match_points_projection(
         st, feats.kp.uv, feats.kp.desc, feats.kp.valid, opt.T_cw, cam.K4,
         radius=6.0, max_hamming=map_ops.TH_LOW + 10.0,
-        width=cam.width, height=cam.height, kp_angle=feats.kp.angle)
+        width=cam.width, height=cam.height, kp_angle=feats.kp.angle,
+        kp_octave=feats.kp.octave, pt_scale=cfg.orb.scale_factor,
+        n_levels=cfg.orb.n_levels)
     # acceptance = the host tracker's strong-metric gate
     # (tracking.py _relocalize): a >=30-inlier rigid 3D-3D consensus on
     # measured depth plus joint-opt and full-map projection floors
@@ -319,8 +321,19 @@ def _track_branch(carry: LoopCarry, feats, ts, cfg: SlamConfig,
     c2 = (((n_inl_f < tr.kf_ref_ratio * ref_floor) | need_close)
           & (n_inl > tr.kf_min_inliers))
     forced = c1a & (n_inl > tr.kf_min_inliers)
-    need_kf = (~bad & (forced | ((c1b | c1c) & c2))
-               & (n_kfs < cfg.map.max_keyframes - 1))
+    want_kf = ~bad & (forced | ((c1b | c1c) & c2))
+    # capacity wall: the tracker demands a new reference view but no slot
+    # is free -- force-evict the most redundant non-protected keyframe
+    # (see cull_one_keyframe force=True; mirrors the host tracker). Under
+    # lax.cond the recount/evict program only runs on wall frames.
+    at_wall = n_kfs >= cfg.map.max_keyframes - 1
+    if not localization_only:
+        state = jax.lax.cond(
+            want_kf & at_wall,
+            lambda s: map_ops.cull_one_keyframe(s, force=True),
+            lambda s: s, state)
+    need_kf = want_kf & (jnp.sum(state.kf_valid)
+                         < cfg.map.max_keyframes - 1)
     if localization_only:
         need_kf = jnp.asarray(False)
         new_state, new_ref, T_post = state, ref_base, T_new

@@ -81,12 +81,16 @@ _MATCH_CHUNK = 4096  # map points per scan step: bounds temporaries to
                      # is ~134 MB x several buffers and fragments HBM)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "pt_scale",
+                                    "n_levels"))
 def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
                             T_pred, K4, radius: float,
                             max_hamming: float = TH_HIGH,
                             width: int = 640, height: int = 480,
-                            kp_angle=None) -> PointMatches:
+                            kp_angle=None, kp_octave=None,
+                            pt_scale: float = 1.2,
+                            n_levels: int = 8) -> PointMatches:
     from dr_slam_tpu.ops.orb import bits_to_signs, unpack_bits
 
     NP = state.pt_pos.shape[0]
@@ -97,6 +101,32 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
     in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < width)
               & (uv[:, 1] >= 0) & (uv[:, 1] < height))
     vis = state.pt_valid & (z > 0.1) & in_img
+
+    # --- scale/view-cone frustum gates (Frame::isInFrustum,
+    # src/Frame.cc + MapPoint distance invariance, ORBmatcher.cc:46) -------
+    # Points whose camera distance falls outside the pyramid's scale
+    # invariance band, or seen from >60 deg off their mean viewing
+    # direction, cannot produce a valid descriptor match -- gating them
+    # kills aliased matches on repetitive texture. Points from maps saved
+    # before the bounds existed (pt_dist_max == 0) skip the gate.
+    dist = jnp.linalg.norm(pos_c, axis=-1)
+    has_si = state.pt_dist_max > 0.0
+    in_band = ((dist >= 0.8 * state.pt_dist_min)
+               & (dist <= 1.2 * state.pt_dist_max))
+    # viewing direction in world: R_wc @ (pos_c/dist) == (pos_c/dist) @ R_cw
+    vdir_w = (pos_c / jnp.maximum(dist, 1e-9)[:, None]) @ T_pred[:3, :3]
+    viewcos = jnp.sum(vdir_w * state.pt_normal, axis=-1)
+    vis &= jnp.where(has_si, in_band & (viewcos > 0.5), True)
+    # predicted pyramid level (MapPoint::PredictScale): the level whose
+    # downscale factor maps the point's creation-time appearance size to
+    # its current one; drives the per-point search radius like the
+    # reference's r * mvScaleFactors[nPredictedLevel]
+    log_s = jnp.log(jnp.asarray(pt_scale, jnp.float32))
+    n_pred = jnp.ceil(jnp.log(jnp.maximum(state.pt_dist_max, 1e-9)
+                              / jnp.maximum(dist, 1e-9)) / log_s)
+    n_pred = jnp.clip(n_pred, 0, n_levels - 1).astype(jnp.int32)
+    n_pred = jnp.where(has_si, n_pred, 0)
+    pt_radius = radius * jnp.asarray(pt_scale, jnp.float32) ** n_pred
 
     C = min(_MATCH_CHUNK, NP)
     n_chunks = -(-NP // C)
@@ -113,18 +143,30 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
     pt_signs = pt_signs.reshape(n_chunks, C, 256)
     uv_ch = pad_to(uv, 1e9).reshape(n_chunks, C, 2)
     vis_ch = pad_to(vis, False).reshape(n_chunks, C)
+    rad_ch = pad_to(pt_radius).reshape(n_chunks, C)
+    lvl_ch = pad_to(n_pred).reshape(n_chunks, C)
+    si_ch = pad_to(has_si, False).reshape(n_chunks, C)
     offs = (jnp.arange(n_chunks, dtype=jnp.int32) * C)
 
     k_idx = jnp.arange(K, dtype=jnp.int32)
 
     def body(carry, chunk):
         best_d, best_i, second_d = carry
-        sg, uvc, vc, off = chunk
+        sg, uvc, vc, radc, lvlc, sic, off = chunk
         dot = jnp.dot(signs_kp, sg.T, preferred_element_type=jnp.float32)
         ham = (256.0 - dot) * 0.5                              # (K, C)
         du = jnp.abs(kp_uv[:, 0:1] - uvc[None, :, 0])
         dv = jnp.abs(kp_uv[:, 1:2] - uvc[None, :, 1])
-        gate = (du < radius) & (dv < radius) & vc[None, :] & kp_valid[:, None]
+        gate = ((du < radc[None, :]) & (dv < radc[None, :])
+                & vc[None, :] & kp_valid[:, None])
+        if kp_octave is not None:
+            # keypoint must live within one pyramid level of the predicted
+            # one (ORBmatcher::SearchByProjection's nPredictedLevel-1 ..
+            # nPredictedLevel window) -- a far landmark cannot match a
+            # fine-level corner and vice versa
+            dlvl = jnp.abs(kp_octave[:, None].astype(jnp.int32)
+                           - lvlc[None, :])
+            gate &= (dlvl <= 1) | ~sic[None, :]
         D = jnp.where(gate, ham, jnp.inf)
         cmin = jnp.min(D, 1)
         carg = jnp.argmin(D, 1).astype(jnp.int32)
@@ -142,7 +184,7 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
     init = (jnp.full((K,), jnp.inf), jnp.zeros((K,), jnp.int32),
             jnp.full((K,), jnp.inf))
     (best_d, best_pt, second), (pk, pd) = jax.lax.scan(
-        body, init, (pt_signs, uv_ch, vis_ch, offs))
+        body, init, (pt_signs, uv_ch, vis_ch, rad_ch, lvl_ch, si_ch, offs))
     pbest_k = pk.reshape(-1)[:NP]                              # (NP,)
 
     ok = best_d <= max_hamming
@@ -420,6 +462,16 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
     pt_pos = state.pt_pos.at[slot].set(pos_w, mode="drop")
     pt_normal = state.pt_normal.at[slot].set(view, mode="drop")
     pt_angle = state.pt_angle.at[slot].set(feats.kp.angle, mode="drop")
+    # scale-invariance band (MapPoint::UpdateNormalAndDepth): the far bound
+    # is the creation distance lifted to pyramid level 0 (dist * scale^oct);
+    # the near bound divides by the full pyramid span. sigma2 = scale^(2*oct)
+    # so sqrt recovers the per-keypoint level factor without an int gather.
+    lvl_factor = jnp.sqrt(feats.kp.sigma2)
+    span = float(cfg.orb.scale_factor) ** (cfg.orb.n_levels - 1)
+    dist_new = jnp.linalg.norm(pos_w - cam_center, axis=-1)
+    dmax_new = dist_new * lvl_factor
+    pt_dmax = state.pt_dist_max.at[slot].set(dmax_new, mode="drop")
+    pt_dmin = state.pt_dist_min.at[slot].set(dmax_new / span, mode="drop")
     pt_desc = state.pt_desc.at[slot].set(feats.kp.desc, mode="drop")
     pt_valid = state.pt_valid.at[slot].set(True, mode="drop")
     pt_visible = state.pt_visible.at[slot].set(1, mode="drop")
@@ -457,6 +509,23 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
         ring_m, best_r[:, None, None].astype(jnp.int32), 1)[:, 0]
     pt_desc = pt_desc.at[m_tgt].set(distinct, mode="drop")
     pt_angle = pt_angle.at[m_tgt].set(feats.kp.angle, mode="drop")
+    # UpdateNormalAndDepth for RE-observed points: running-mean viewing
+    # direction over observations, and a refreshed invariance band from this
+    # observation's distance + octave (keeps the band tracking loop-closure
+    # gauge corrections that move landmarks).
+    obs_pos = state.pt_pos[jnp.clip(mp_idx, 0, NP - 1)]
+    view_m = obs_pos - cam_center
+    view_m = view_m / jnp.maximum(
+        jnp.linalg.norm(view_m, axis=-1, keepdims=True), 1e-9)
+    w_obs = state.pt_obs_count[jnp.clip(mp_idx, 0, NP - 1)]
+    n_mean = (pt_normal[jnp.clip(mp_idx, 0, NP - 1)]
+              * w_obs.astype(jnp.float32)[:, None] + view_m)
+    n_mean = n_mean / jnp.maximum(
+        jnp.linalg.norm(n_mean, axis=-1, keepdims=True), 1e-9)
+    pt_normal = pt_normal.at[m_tgt].set(n_mean, mode="drop")
+    dmax_obs = jnp.linalg.norm(obs_pos - cam_center, axis=-1) * lvl_factor
+    pt_dmax = pt_dmax.at[m_tgt].set(dmax_obs, mode="drop")
+    pt_dmin = pt_dmin.at[m_tgt].set(dmax_obs / span, mode="drop")
 
     # ---- write keyframe row -------------------------------------------------
     state = state._replace(
@@ -464,6 +533,7 @@ def add_keyframe(state: MapState, feats: FrameFeatures, T_cw, ts,
         pt_desc_ring=pt_ring,
         pt_valid=pt_valid, pt_visible=pt_visible, pt_found=pt_found,
         pt_first_kf=pt_first, pt_obs_count=pt_obs, pt_angle=pt_angle,
+        pt_dist_min=pt_dmin, pt_dist_max=pt_dmax,
         kf_pose=state.kf_pose.at[k].set(T_cw),
         kf_valid=state.kf_valid.at[k].set(True),
         kf_seq=state.kf_seq.at[k].set(state.kf_next_seq),
@@ -848,14 +918,22 @@ def fuse_points_mask(state: MapState, new: jnp.ndarray,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("keep_recent",))
+                   static_argnames=("keep_recent", "force"))
 def cull_one_keyframe(state: MapState, redundancy: float = 0.9,
-                      min_obs: int = 20, keep_recent: int = 2) -> MapState:
+                      min_obs: int = 20, keep_recent: int = 2,
+                      force: bool = False) -> MapState:
     """KeyFrameCulling (LocalMapping.cc:1226): erase the most redundant
     keyframe whose observations are >= `redundancy` covered by >= 3 other
     keyframes. One cull per call (per keyframe insertion) -- culling many at
     once could cascade two mutually-redundant keyframes away together. The
-    first keyframe (seq 0) and the `keep_recent` newest are protected."""
+    first keyframe (seq 0) and the `keep_recent` newest are protected.
+
+    force=True: evict the MOST redundant non-protected keyframe even when
+    none passes the redundancy threshold. The reference has no capacity
+    wall (its KeyFrameCulling is purely opportunistic); a fixed-capacity
+    map must keep inserting when the tracker demands a new reference view,
+    so at the wall the least informative old keyframe yields its slot --
+    threshold-passing candidates still win when they exist."""
     NK, K = state.kf_mp.shape
     NP = state.pt_pos.shape[0]
     obs = _recount_point_obs(state.kf_mp, state.kf_kp_valid, state.kf_valid,
@@ -873,8 +951,15 @@ def cull_one_keyframe(state: MapState, redundancy: float = 0.9,
     ratio = n_red.astype(jnp.float32) / jnp.maximum(n_obs, 1).astype(jnp.float32)
     cand = (state.kf_valid & ~protect & (n_obs >= min_obs)
             & (ratio > redundancy))
-    kill = jnp.argmax(jnp.where(cand, ratio, -1.0)).astype(jnp.int32)
-    do = jnp.any(cand)
+    if force:
+        fallback = state.kf_valid & ~protect
+        score = jnp.where(cand, ratio + 10.0,
+                          jnp.where(fallback, ratio, -1.0))
+        kill = jnp.argmax(score).astype(jnp.int32)
+        do = jnp.any(cand | fallback)
+    else:
+        kill = jnp.argmax(jnp.where(cand, ratio, -1.0)).astype(jnp.int32)
+        do = jnp.any(cand)
 
     kf_valid = jnp.where(do, state.kf_valid.at[kill].set(False),
                          state.kf_valid)
@@ -1010,12 +1095,19 @@ def triangulate_with_kf(state: MapState, kf_a, kf_b, K4,
     can = good & (rank < n_free)
     slot = jnp.where(can, slots_all[jnp.clip(rank, 0, NP - 1)], NP)
     view = X - o_a
-    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True),
-                              1e-9)
+    dist_a = jnp.linalg.norm(view, axis=-1)
+    view = view / jnp.maximum(dist_a[:, None], 1e-9)
+    # scale-invariance band from the creating keyframe's octave (sigma2 =
+    # scale^(2*oct)); span fixed at the default 8-level/1.2 pyramid
+    dmax_tri = dist_a * jnp.sqrt(state.kf_sigma2[kf_a])
+    span_tri = 1.2 ** 7
     two = jnp.full((K,), 2, jnp.int32)
     state = state._replace(
         pt_pos=state.pt_pos.at[slot].set(X, mode="drop"),
         pt_normal=state.pt_normal.at[slot].set(view, mode="drop"),
+        pt_dist_max=state.pt_dist_max.at[slot].set(dmax_tri, mode="drop"),
+        pt_dist_min=state.pt_dist_min.at[slot].set(dmax_tri / span_tri,
+                                                   mode="drop"),
         pt_desc=state.pt_desc.at[slot].set(state.kf_desc[kf_a], mode="drop"),
         pt_desc_ring=state.pt_desc_ring.at[slot].set(
             jnp.broadcast_to(state.kf_desc[kf_a][:, None, :],

@@ -45,6 +45,10 @@ class MapState(NamedTuple):
     pt_obs_count: jnp.ndarray  # (NP,) int32 -- # keyframes observing
     pt_first_kf: jnp.ndarray   # (NP,) int32
     pt_angle: jnp.ndarray      # (NP,) keypoint orientation at creation (rad)
+    pt_dist_min: jnp.ndarray   # (NP,) scale-invariance near bound (m) --
+                               #   MapPoint::GetMinDistanceInvariance
+    pt_dist_max: jnp.ndarray   # (NP,) scale-invariance far bound (m);
+                               #   0 = unset (pre-scale-aware map) -> no gate
     # --- keyframes (KeyFrame equivalent, include/KeyFrame.h) ---------------
     kf_pose: jnp.ndarray       # (NK, 4, 4) T_cw
     kf_valid: jnp.ndarray      # (NK,) bool
@@ -117,7 +121,7 @@ def make_empty_state(cfg: SlamConfig) -> MapState:
         pt_valid=z(NP, bool),
         pt_visible=z(NP, jnp.int32), pt_found=z(NP, jnp.int32),
         pt_obs_count=z(NP, jnp.int32), pt_first_kf=z(NP, jnp.int32),
-        pt_angle=z(NP),
+        pt_angle=z(NP), pt_dist_min=z(NP), pt_dist_max=z(NP),
         kf_pose=jnp.tile(jnp.eye(4)[None], (NK, 1, 1)), kf_valid=z(NK, bool),
         kf_seq=jnp.full((NK,), -1, jnp.int32),
         kf_ts=z(NK), kf_uv=z((NK, K, 2)), kf_ur=z((NK, K)),

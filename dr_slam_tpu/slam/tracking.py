@@ -384,8 +384,21 @@ class Tracker:
             close_untracked=n_close_untracked, ref_tracked=ref_tracked,
             frames_since=frames_since, need_close=need_close,
             c1a=c1a, c1b=c1b, c1c=c1c, c2=c2, need_kf=need_kf)
-        if not need_kf or self._n_kfs_host >= cfg.map.max_keyframes - 1:
+        if not need_kf:
             return False
+        if self._n_kfs_host >= cfg.map.max_keyframes - 1:
+            # Capacity wall. The reference never hits one (opportunistic
+            # KeyFrameCulling, no fixed capacity); here the tracker DEMANDS
+            # a new reference view, so force-evict the most redundant
+            # non-protected keyframe to free a slot -- refusing to insert
+            # forever would strand tracking as the camera leaves mapped
+            # territory. Rare event => the one extra scalar readback is off
+            # the steady-state path.
+            self.map_state = map_ops.cull_one_keyframe(self.map_state,
+                                                       force=True)
+            self._n_kfs_host = int(self.map_state.n_kfs)
+            if self._n_kfs_host >= cfg.map.max_keyframes - 1:
+                return False
         T_cur = out.T_cw
         bow = compute_bow(feats.kp.desc, feats.kp.valid, cfg.map.vocab_words)
         blocked = map_ops.creation_block_mask(
@@ -749,7 +762,8 @@ class Tracker:
                 st, feats.kp.uv, feats.kp.desc, feats.kp.valid, opt.T_cw,
                 cfg.camera.K4, radius=6.0, max_hamming=map_ops.TH_LOW + 10.0,
                 width=cfg.camera.width, height=cfg.camera.height,
-                kp_angle=feats.kp.angle)
+                kp_angle=feats.kp.angle, kp_octave=feats.kp.octave,
+                pt_scale=cfg.orb.scale_factor, n_levels=cfg.orb.n_levels)
             if _dbg:
                 print(f"[reloc]  kf={int(kf_id)} opt_inl={int(opt.n_inliers)} verify={int(verify.n_matches)}", flush=True)
             # Acceptance. Primary gate: joint-opt inliers + full-map

@@ -22,14 +22,17 @@ def corridor_run():
     from dr_slam_tpu.slam.system import System
 
     cfg0 = small_cfg()
-    # kf_ref_ratio near 1: insert on the slightest overlap decay. The
-    # reference-faithful default (0.75) correctly inserts only ~3 keyframes
-    # on this slow corridor; this test is about CULLING under pressure, so
-    # the policy is deliberately made trigger-happy to overflow capacity.
+    # kf_ref_ratio near 1: insert on the slightest overlap decay, plus a
+    # tiny max_frames so c1a FORCES a keyframe every 4 frames. The
+    # reference-faithful defaults correctly insert only a handful of
+    # keyframes on this slow corridor (round 4's scale-aware matching made
+    # the ratio gate even quieter); this test is about CULLING under
+    # pressure, so the policy is deliberately made trigger-happy enough to
+    # overflow the 12-slot capacity no matter how clean tracking is.
     cfg = cfg0.replace(
         map=dataclasses.replace(cfg0.map, max_keyframes=12),
         tracking=dataclasses.replace(cfg0.tracking, min_frames=3,
-                                     kf_ref_ratio=0.995))
+                                     max_frames=4, kf_ref_ratio=0.995))
     n = 70
     seq = synthetic.SyntheticSequence(
         synthetic.corridor_trajectory(n, step=0.02), K4=cfg.camera.K4,

@@ -169,3 +169,71 @@ def test_line_refresh_extends_and_averages():
     # direction stayed sign-consistent with the original
     assert float(st.ln_dir[ln, 0]) > 0.99, np.asarray(st.ln_dir[ln])
     assert int(st.ln_obs_count[ln]) == 2
+
+
+def test_scale_aware_projection_gates():
+    """Scale-invariance band, viewing cone, and predicted-octave gates of
+    SearchByProjection (reference ORBmatcher.cc:46 + MapPoint::PredictScale,
+    Frame::isInFrustum): a landmark seen from 3x its creation distance,
+    from >60 deg off its mean viewing direction, or through a keypoint on a
+    far-off pyramid level must not match; a pre-scale-aware landmark
+    (dist_max == 0) is exempt from all three."""
+    cfg = tiny_cfg()
+    st = make_empty_state(cfg)
+    st = st._replace(
+        pt_pos=st.pt_pos.at[0].set(jnp.asarray([0.0, 0.0, 2.0])),
+        pt_normal=st.pt_normal.at[0].set(jnp.asarray([0.0, 0.0, 1.0])),
+        pt_desc=st.pt_desc.at[0].set(jnp.arange(8, dtype=jnp.uint32)),
+        pt_valid=st.pt_valid.at[0].set(True),
+        pt_dist_min=st.pt_dist_min.at[0].set(2.0 / 1.2 ** 7),
+        pt_dist_max=st.pt_dist_max.at[0].set(2.0))
+    K = cfg.orb.max_keypoints
+    kp_uv = jnp.zeros((K, 2)).at[0].set(
+        jnp.asarray([cfg.camera.cx, cfg.camera.cy]))
+    kp_desc = jnp.zeros((K, 8), jnp.uint32).at[0].set(
+        jnp.arange(8, dtype=jnp.uint32))
+    kp_valid = jnp.zeros(K, bool).at[0].set(True)
+    oct0 = jnp.zeros(K, jnp.int32)
+
+    def match(st_, T, octv):
+        m = map_ops.match_points_projection(
+            st_, kp_uv, kp_desc, kp_valid, T, cfg.camera.K4, radius=8.0,
+            width=cfg.camera.width, height=cfg.camera.height,
+            kp_octave=octv, pt_scale=1.2, n_levels=8)
+        return int(m.mp_idx[0])
+
+    eye = jnp.eye(4)
+    assert match(st, eye, oct0) == 0                       # nominal view
+    T_far = jnp.eye(4).at[2, 3].set(4.0)                   # point at 6 m
+    assert match(st, T_far, oct0) == -1                    # out of band
+    assert match(st, eye, jnp.full(K, 7, jnp.int32)) == -1  # wrong level
+    # in-band distance but looking at the point's back side (viewcos = -1):
+    # camera at z=4 turned around (R flips y and z)
+    Rz = jnp.diag(jnp.asarray([1.0, -1.0, -1.0]))
+    T_back = (jnp.eye(4).at[:3, :3].set(Rz)
+              .at[:3, 3].set(-Rz @ jnp.asarray([0.0, 0.0, 4.0])))
+    assert match(st, T_back, oct0) == -1
+    # legacy landmark (no stored band): only frustum gates apply
+    legacy = st._replace(pt_dist_max=st.pt_dist_max.at[0].set(0.0))
+    assert match(legacy, T_far, oct0) == 0
+
+
+def test_add_keyframe_sets_invariance_band():
+    """Creation writes dist bounds from depth + octave
+    (MapPoint::UpdateNormalAndDepth): an octave-0 keypoint at 2 m yields a
+    far bound at the creation distance and a near bound a full pyramid span
+    below it."""
+    cfg = tiny_cfg()
+    st = make_empty_state(cfg)
+    desc = jnp.arange(8, dtype=jnp.uint32)
+    feats = _feats_for_kf(cfg, desc)
+    st2, _ = _insert_kf(st, cfg, feats)
+    created = np.asarray(st2.pt_valid)
+    assert created.any()
+    dmax = np.asarray(st2.pt_dist_max)[created]
+    dmin = np.asarray(st2.pt_dist_min)[created]
+    assert (dmax > 0).all()
+    assert np.allclose(dmin, dmax / cfg.orb.scale_factor ** 7, rtol=1e-5)
+    # octave-0 feature at depth 2.0 through the principal point: creation
+    # distance is exactly 2.0
+    assert abs(dmax[0] - 2.0) < 1e-5

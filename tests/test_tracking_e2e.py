@@ -59,9 +59,9 @@ def test_ate_small(tracked):
     est = np.asarray([np.linalg.inv(T)[:3, 3] for _, T in sysm.tracker.trajectory])
     gt = np.asarray([np.linalg.inv(p)[:3, 3] for p in seq.poses_cw])
     ate = ate_rmse(est, gt)
-    # 25 frames, 75 cm total motion (known issue: transient drift/reloc
-    # cycles -- see README Known Issues; tighten toward 0.05 in round 2)
-    assert ate < 0.10, ate
+    # 25 frames, 75 cm total motion; measured ~0.008 m with scale-aware
+    # matching (round 4) -- the bound carries a 2.5x margin
+    assert ate < 0.02, ate
 
 
 def test_map_contents(tracked):
