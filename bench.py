@@ -118,19 +118,28 @@ def bench_odometry(n_frames: int = 48) -> float | None:
         os.remove(map_path)
         return bench_odometry(n_frames)
     # stream DISTINCT pre-rendered frames (cycled) -- measuring one frame
-    # re-fed N times hides input variation and cache effects
+    # re-fed N times hides input variation and cache effects. Frames are
+    # staged in CAMERA-NATIVE dtypes (uint8 gray, uint16 depth units): that
+    # is what a sensor delivers, and the f32 cast + DepthMapFactor scale
+    # runs on device (frontend.frame.ingest)
     frames = []
     for i in range(12, 16):
         g, d = seq.render(i)
-        frames.append((jnp.asarray(g), jnp.asarray(d)))
+        g8 = jnp.asarray(np.clip(np.asarray(g) + 0.5, 0, 255), jnp.uint8)
+        d16 = jnp.asarray(np.clip(np.asarray(d) * cfg.camera.depth_factor
+                                  + 0.5, 0, 65535), jnp.uint16)
+        frames.append((g8, d16))
     jax.block_until_ready(frames)
     ref = jnp.asarray(1, jnp.int32)
     T = jnp.eye(4)
     vel = jnp.eye(4)
     R = st.R_wm
-    # warm the exact call (no scalar readbacks)
-    f = extract_frame(*frames[0], cfg)
-    out = track_step(st, f, T, vel, R, ref, cfg)
+    # warm the exact call (no scalar readbacks). extract+track is ONE fused
+    # executable (track_step.extract_and_track): per-frame alternation
+    # between two programs costs a program swap on the tunneled runtime and
+    # a second dispatch everywhere
+    from dr_slam_tpu.slam.track_step import extract_and_track
+    _, out = extract_and_track(*frames[0], st, T, vel, R, ref, cfg)
     jax.block_until_ready(out.T_cw)
 
     st, T, R = out.new_map_state, out.T_cw, out.R_cm
@@ -141,8 +150,7 @@ def bench_odometry(n_frames: int = 48) -> float | None:
         t0 = time.perf_counter()
         for i in range(n_frames):
             g, d = frames[i % len(frames)]
-            f = extract_frame(g, d, cfg)
-            out = track_step(st, f, T, vel, R, ref, cfg)
+            _, out = extract_and_track(g, d, st, T, vel, R, ref, cfg)
             st, T, R = out.new_map_state, out.T_cw, out.R_cm
         jax.block_until_ready(out.T_cw)
         dt = time.perf_counter() - t0
@@ -188,12 +196,23 @@ def bench_interactive_device(n_frames: int = 120, warm: int = 25) -> float | Non
             "    gs.append(np.asarray(g)); ds.append(np.asarray(d))\n"
             f"np.savez('{frames_path}', gray=np.stack(gs), "
             "depth=np.stack(ds))\n")
-        subprocess.run([_sys.executable, "-c", code], check=True,
-                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        # strip the axon TPU bootstrap: with it set, sitecustomize registers
+        # the TPU plugin in the child REGARDLESS of JAX_PLATFORMS and the
+        # child contends with this process's live TPU client on the relay
+        # (same failure class as MULTICHIP_r01..r03, see __graft_entry__.py)
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith(("PALLAS_AXON", "AXON_"))
+               and k != "TPU_SKIP_MDS_QUERY"}
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run([_sys.executable, "-c", code], check=True, env=env)
     z = np.load(frames_path)
-    gray, depth = z["gray"], z["depth"]
-    n_frames = min(n_frames, gray.shape[0])
     cfg = tum_freiburg3()
+    # camera-native staging: uint8 gray / uint16 depth units halve-to-quarter
+    # the per-frame H2D over the TPU link; cast+scale runs on device
+    gray = np.clip(z["gray"] + 0.5, 0, 255).astype(np.uint8)
+    depth = np.clip(z["depth"] * cfg.camera.depth_factor + 0.5,
+                    0, 65535).astype(np.uint16)
+    n_frames = min(n_frames, gray.shape[0])
     tr = DeviceLoopTracker(cfg)
     for i in range(warm):
         tr.track(gray[i], depth[i], i / 30.0)

@@ -57,15 +57,35 @@ def _sample_depth(depth: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
+def ingest(gray, depth, cam):
+    """Camera-native frame ingestion, ON DEVICE (trace-time dtype dispatch).
+
+    Accepts gray as uint8 (sensor-native, 4x less H2D than f32 over the
+    tunneled TPU link) or float32 [0,255], and depth as uint16 sensor units
+    (TUM 16-bit PNG, DepthMapFactor scaling -- the reference converts on the
+    CPU, src/Tracking.cc:223 imDepth.convertTo; here the cast+scale runs on
+    the TPU so the host touches no pixels) or float32 meters. Returns
+    (gray f32, depth f32 meters)."""
+    if gray.dtype != jnp.float32:
+        gray = gray.astype(jnp.float32)
+    if depth.dtype == jnp.uint16:
+        depth = depth.astype(jnp.float32) * (1.0 / cam.depth_factor)
+    elif depth.dtype != jnp.float32:
+        depth = depth.astype(jnp.float32)
+    return gray, depth
+
+
 def extract_frame(gray: jnp.ndarray, depth: jnp.ndarray,
                   cfg: SlamConfig) -> FrameFeatures:
-    """gray (H, W) [0,255] float32, depth (H, W) meters -> FrameFeatures."""
+    """gray (H, W) uint8 or [0,255] float32, depth (H, W) uint16 sensor
+    units or float32 meters -> FrameFeatures."""
     return _extract_frame(gray, depth, cfg.camera, cfg.orb, cfg.plane,
                           cfg.line)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "orb", "plane", "line"))
 def _extract_frame(gray, depth, cam, orb, plane, line) -> FrameFeatures:
+    gray, depth = ingest(gray, depth, cam)
     K4 = cam.K4
     kp = orb_ops.extract_orb(
         gray, n_features=orb.n_features, n_levels=orb.n_levels,

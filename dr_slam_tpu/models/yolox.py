@@ -99,6 +99,11 @@ def load_params(path: str) -> dict:
     data = np.load(path, allow_pickle=True)
     p = {k: data[k].item() if data[k].dtype == object else data[k]
          for k in data.files}
+    # checkpoints may store fp16 (scripts/train_yolox.py); compute in fp32
+    for k, v in p.items():
+        if isinstance(v, dict) and "w" in v:
+            p[k] = {"w": np.asarray(v["w"], np.float32),
+                    "b": np.asarray(v["b"], np.float32)}
     return p
 
 
