@@ -68,7 +68,9 @@ def ingest(gray, depth, cam):
     (gray f32, depth f32 meters)."""
     if gray.dtype != jnp.float32:
         gray = gray.astype(jnp.float32)
-    if depth.dtype == jnp.uint16:
+    if jnp.issubdtype(depth.dtype, jnp.integer):
+        # ANY integer depth is sensor units (TUM 16-bit PNG semantics,
+        # whatever width the loader delivered) -- never meters
         depth = depth.astype(jnp.float32) * (1.0 / cam.depth_factor)
     elif depth.dtype != jnp.float32:
         depth = depth.astype(jnp.float32)

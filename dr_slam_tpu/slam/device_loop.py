@@ -406,7 +406,11 @@ class DeviceLoopTracker:
         d = jnp.asarray(depth)
         if g.dtype not in (jnp.uint8, jnp.float32):
             g = g.astype(jnp.float32)
-        if d.dtype not in (jnp.uint16, jnp.float32):
+        # integer depth of ANY width is sensor units: keep it integer so
+        # ingest() applies the 1/DepthMapFactor scale on device (casting to
+        # f32 here would smuggle sensor units through as meters)
+        if not (d.dtype == jnp.float32
+                or jnp.issubdtype(d.dtype, jnp.integer)):
             d = d.astype(jnp.float32)
         self.carry, rec = device_track_step(
             self.carry, g, d, jnp.asarray(timestamp, jnp.float32),
