@@ -243,6 +243,17 @@ _YAML_MAP: Mapping[str, tuple] = {
     "Plane.Chi2": ("plane", "chi2", float),
     "Plane.VPChi2": ("plane", "vp_chi2", float),
     "Plane.MFVerticalThreshold": ("plane", "vertical_threshold", float),
+    # TPU-side static capacities (no reference-YAML counterpart -- the
+    # reference's maps grow unbounded on the heap; here fixed-capacity SoA
+    # tables are the device-resident design, so runners need them tunable
+    # from the same config file)
+    "Map.MaxPoints": ("map", "max_points", int),
+    "Map.MaxLines": ("map", "max_lines", int),
+    "Map.MaxPlanes": ("map", "max_planes", int),
+    "Map.MaxKeyFrames": ("map", "max_keyframes", int),
+    "Map.VocabWords": ("map", "vocab_words", int),
+    "ORBextractor.maxKeypoints": ("orb", "max_keypoints", int),
+    "Line.MaxLines": ("line", "max_lines", int),
     "Viewer.KeyFrameSize": ("viewer", "keyframe_size", float),
     "Viewer.PointSize": ("viewer", "point_size", float),
     "Viewer.CameraSize": ("viewer", "camera_size", float),

@@ -115,6 +115,56 @@ class TUMDataset:
             yield self[i]
 
 
+def export_tum_sequence(out_dir: str, poses_cw: Sequence[np.ndarray],
+                        render_fn, depth_factor: float = 5000.0,
+                        fps: float = 30.0, t0: float = 1000.0) -> str:
+    """Write a TUM-format RGB-D sequence directory from rendered frames.
+
+    Produces exactly the on-disk layout the reference's dataset runner
+    consumes (Examples/RGB-D/main.cc:59-109 + the TUM associate protocol):
+    ``rgb/*.png`` 8-bit grayscale, ``depth/*.png`` 16-bit sensor units
+    (value = meters * DepthMapFactor, src/Tracking.cc:223 semantics),
+    ``rgb.txt``/``depth.txt`` listings, ``associate.txt``, and
+    ``groundtruth.txt`` (T_wc rows, ``t tx ty tz qx qy qz qw``).
+
+    render_fn(i) -> (gray [0,255] float, depth meters float) arrays.
+    Returns out_dir. Used to build hermetic dataset fixtures so the full
+    PNG -> uint16 -> DepthMapFactor ingestion path is testable offline."""
+    from PIL import Image
+
+    from dr_slam_tpu.io.trajectory import pose_to_tum_row
+
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+    rgb_rows, depth_rows, assoc_rows, gt_rows = [], [], [], []
+    for i, T_cw in enumerate(poses_cw):
+        t = t0 + i / fps
+        gray, depth = render_fn(i)
+        gray = np.asarray(gray)
+        depth = np.asarray(depth)
+        g8 = np.clip(gray + 0.5, 0, 255).astype(np.uint8)
+        d16 = np.clip(depth * depth_factor + 0.5, 0, 65535).astype(np.uint16)
+        rgb_rel = f"rgb/{t:.6f}.png"
+        depth_rel = f"depth/{t:.6f}.png"
+        Image.fromarray(g8).save(os.path.join(out_dir, rgb_rel))
+        Image.fromarray(d16).save(os.path.join(out_dir, depth_rel))
+        rgb_rows.append(f"{t:.6f} {rgb_rel}")
+        depth_rows.append(f"{t:.6f} {depth_rel}")
+        assoc_rows.append(f"{t:.6f} {rgb_rel} {t:.6f} {depth_rel}")
+        gt_rows.append(pose_to_tum_row(t, np.asarray(T_cw)))
+    header = "# timestamp filename\n"
+    with open(os.path.join(out_dir, "rgb.txt"), "w") as f:
+        f.write(header + "\n".join(rgb_rows) + "\n")
+    with open(os.path.join(out_dir, "depth.txt"), "w") as f:
+        f.write(header + "\n".join(depth_rows) + "\n")
+    with open(os.path.join(out_dir, "associate.txt"), "w") as f:
+        f.write("\n".join(assoc_rows) + "\n")
+    with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+        f.write("# timestamp tx ty tz qx qy qz qw\n"
+                + "\n".join(gt_rows) + "\n")
+    return out_dir
+
+
 def load_groundtruth(path: str) -> tuple[np.ndarray, np.ndarray]:
     """Load TUM groundtruth.txt -> (timestamps (N,), poses (N,7) tx..qw)."""
     ts, poses = [], []

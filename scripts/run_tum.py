@@ -33,9 +33,10 @@ def main():
     ds = TUMDataset(args.sequence, depth_factor=cfg.camera.depth_factor)
     n = min(len(ds), args.frames) if args.frames else len(ds)
 
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
     sysm = System(cfg, metrics_path=os.path.join(args.out, "metrics.jsonl")
                   if args.out else None)
-    os.makedirs(args.out, exist_ok=True)
     if args.load_map:
         sysm.load_map(args.load_map)
     if args.localization_only:
