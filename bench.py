@@ -109,8 +109,14 @@ def bench_odometry(n_frames: int = 48) -> float | None:
             "    g, d = seq.render(i)\n"
             "    s.track_rgbd(g, d, i / 30.0)\n"
             f"s.save_map('{map_path}')\n")
-        subprocess.run([_sys.executable, "-c", code], check=True,
-                       env=os.environ)
+        # strip the axon TPU bootstrap: with it set, sitecustomize registers
+        # the TPU plugin in the child regardless of JAX_PLATFORMS and the
+        # child contends with this process's live TPU client on the relay
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith(("PALLAS_AXON", "AXON_"))
+               and k != "TPU_SKIP_MDS_QUERY"}
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run([_sys.executable, "-c", code], check=True, env=env)
     from dr_slam_tpu.io.map_io import load_map
     try:
         st = load_map(map_path, cfg)
@@ -122,13 +128,17 @@ def bench_odometry(n_frames: int = 48) -> float | None:
     # staged in CAMERA-NATIVE dtypes (uint8 gray, uint16 depth units): that
     # is what a sensor delivers, and the f32 cast + DepthMapFactor scale
     # runs on device (frontend.frame.ingest)
+    # CRITICAL: the casts must stay ON DEVICE -- np.asarray of a rendered
+    # device frame is a host readback, and the first few readbacks
+    # permanently degrade this runtime's dispatch (~0.5 ms -> ~85 ms; see
+    # slam/device_loop.py header). BENCH_r04 measured exactly that bug.
+    cast8 = jax.jit(lambda g: jnp.clip(g + 0.5, 0, 255).astype(jnp.uint8))
+    cast16 = jax.jit(lambda d: jnp.clip(
+        d * cfg.camera.depth_factor + 0.5, 0, 65535).astype(jnp.uint16))
     frames = []
     for i in range(12, 16):
         g, d = seq.render(i)
-        g8 = jnp.asarray(np.clip(np.asarray(g) + 0.5, 0, 255), jnp.uint8)
-        d16 = jnp.asarray(np.clip(np.asarray(d) * cfg.camera.depth_factor
-                                  + 0.5, 0, 65535), jnp.uint16)
-        frames.append((g8, d16))
+        frames.append((cast8(g), cast16(d)))
     jax.block_until_ready(frames)
     ref = jnp.asarray(1, jnp.int32)
     T = jnp.eye(4)
@@ -263,6 +273,31 @@ def mfu_estimate(fps: float) -> dict | None:
         return None
 
 
+def bench_accuracy(timeout: int = 1500) -> dict | None:
+    """ATE before/after loop closure on a drift-injected loop sequence
+    (scripts/bench_accuracy.py), run on CPU in a subprocess: the loop-closure
+    pipeline needs per-frame host readbacks, which would permanently degrade
+    this process's axon TPU runtime. This puts the reference's validation
+    protocol (trajectory scoring, /root/reference/run.sh:2-3 evo_ape) into
+    the driver-visible bench artifact next to fps."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_accuracy.py")
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_"))
+           and k != "TPU_SKIP_MDS_QUERY"}
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        r = subprocess.run([_sys.executable, script], env=env,
+                           capture_output=True, text=True, timeout=timeout)
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+
+
 def main():
     fps = bench_odometry()
     if fps is not None:
@@ -274,6 +309,10 @@ def main():
         "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/sec",
+        # the reference publishes no fps (SURVEY section 6); its design point
+        # is the 30 fps camera (TUM3.yaml:22), so vs_baseline = fps / 30 =
+        # multiples of real-time. The accuracy side of the north star rides
+        # in ate_rmse_m below.
         "vs_baseline": round(fps / 30.0, 3),
     }
     mfu = mfu_estimate(fps)
@@ -300,6 +339,11 @@ def main():
             out["interactive_fps_host_readback"] = round(hfps, 2)
     except Exception:
         pass
+    acc = bench_accuracy()
+    if acc:
+        out.update({k: acc[k] for k in
+                    ("ate_rmse_m", "ate_rmse_raw_m", "loops_closed")
+                    if k in acc})
     print(json.dumps(out))
 
 
