@@ -274,3 +274,174 @@ class SyntheticSequence:
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
+
+
+def synthetic_map_state(cfg, n_kfs: int, seed: int = 0,
+                        pose_noise: float = 0.01, pt_noise: float = 0.02):
+    """Directly populate a realistic-capacity MapState: n_kfs keyframes on a
+    loop around the room, points on the walls, the 6 wall planes and the
+    room's vertical edges as structural landmarks, and REAL observation
+    tables (kf_mp / kf_uv / kf_xyz / kf_pl / kf_ln) built by projecting the
+    true geometry through each keyframe with noise.
+
+    Purpose: maps at the scale the reference accumulates over a full TUM
+    sequence (hundreds of KFs, tens of thousands of points -- far beyond
+    what CPU-speed tracking can build inside a test) for exercising
+    global-BA / sharded-BA / place-recognition paths at realistic capacity.
+    Initial kf_pose / pt_pos / pl_coef / ln_ep are the true values perturbed
+    by pose_noise / pt_noise, so an optimizer has real work to do; ground
+    truth poses are returned alongside.
+
+    Returns (state: MapState, true_kf_pose: (n_kfs, 4, 4) np.ndarray)."""
+    from dr_slam_tpu.slam.state import make_empty_state
+
+    room = BoxRoom()
+    rng = np.random.RandomState(seed)
+    NK = cfg.map.max_keyframes
+    NP = cfg.map.max_points
+    K = cfg.orb.max_keypoints
+    assert n_kfs <= NK
+    poses_true = loop_trajectory(n_kfs, room)          # (n, 4, 4) T_cw
+    K4 = cfg.camera.K4
+    W, H = cfg.camera.width, cfg.camera.height
+
+    # world points on the walls (uniform over the 6 faces)
+    wall = rng.randint(0, 6, NP)
+    u = rng.rand(NP)
+    v = rng.rand(NP)
+    pts = np.empty((NP, 3), np.float32)
+    pts[:, 0] = np.where(wall == 0, 0, np.where(wall == 1, room.xmax,
+                                                u * room.xmax))
+    pts[:, 1] = np.where(wall == 2, 0, np.where(wall == 3, room.ymax,
+                                                v * room.ymax))
+    pts[:, 2] = np.select([wall == 4, wall == 5], [0.0, room.zmax],
+                          rng.rand(NP) * room.zmax)
+    # faces 0/1 vary (y,z); faces 2/3 vary (x,z); 4/5 vary (x,y)
+    pts[:, 2] = np.where(wall < 4, u * room.zmax, pts[:, 2])
+    pts[:, 1] = np.where(wall < 2, v * room.ymax, pts[:, 1])
+
+    kf_pose = np.tile(np.eye(4, dtype=np.float32), (NK, 1, 1))
+    kf_uv = np.zeros((NK, K, 2), np.float32)
+    kf_xyz = np.zeros((NK, K, 3), np.float32)
+    kf_mp = np.full((NK, K), -1, np.int32)
+    kf_kp_valid = np.zeros((NK, K), bool)
+    kf_sigma2 = np.ones((NK, K), np.float32)
+    pt_seen = np.zeros(NP, bool)
+
+    for k in range(n_kfs):
+        T = poses_true[k]
+        Xc = pts @ T[:3, :3].T + T[:3, 3]
+        uv = np.stack([K4[0] * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-6) + K4[2],
+                       K4[1] * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-6) + K4[3]],
+                      -1)
+        vis = ((Xc[:, 2] > 0.3) & (Xc[:, 2] < 8.0)
+               & (uv[:, 0] > 1) & (uv[:, 0] < W - 2)
+               & (uv[:, 1] > 1) & (uv[:, 1] < H - 2))
+        ids = np.where(vis)[0]
+        rng.shuffle(ids)
+        ids = ids[:K]
+        n = len(ids)
+        kf_mp[k, :n] = ids
+        kf_uv[k, :n] = uv[ids] + 0.3 * rng.randn(n, 2)
+        kf_xyz[k, :n] = Xc[ids] * (1 + 0.002 * rng.randn(n, 1))
+        kf_kp_valid[k, :n] = True
+        pt_seen[ids] = True
+        # perturbed initial pose; KF0 anchors the gauge exactly
+        if k > 0:
+            dxi = pose_noise * rng.randn(6).astype(np.float32)
+            kf_pose[k] = np.asarray(
+                se3.se3_exp(jnp.asarray(dxi)), np.float32) @ T
+        else:
+            kf_pose[k] = T
+
+    # wall planes + a couple of par/ver relation entries per keyframe
+    wall_pl = room.planes()                            # (6, 4) world (n, d)
+    NF = cfg.map.max_planes
+    Fp = cfg.plane.max_planes
+    pl_coef = np.zeros((NF, 4), np.float32)
+    pl_valid = np.zeros(NF, bool)
+    n_pl = min(6, NF)
+    pl_coef[:n_pl] = wall_pl[:n_pl]
+    pl_valid[:n_pl] = True
+    kf_pl = np.full((NK, Fp), -1, np.int32)
+    kf_pl_par = np.full((NK, Fp), -1, np.int32)
+    kf_pl_ver = np.full((NK, Fp), -1, np.int32)
+    kf_pl_obs = np.zeros((NK, Fp, 4), np.float32)
+    for k in range(n_kfs):
+        T_wc = np.linalg.inv(poses_true[k])
+        cam = wall_pl @ T_wc                           # camera-frame coeffs
+        cam /= np.linalg.norm(cam[:, :3], axis=1, keepdims=True)
+        cam *= np.where(cam[:, 3:4] < 0, -1.0, 1.0)
+        facing = np.where(cam[:, 3] > 0.2)[0][:Fp]     # in front of camera
+        m = len(facing)
+        kf_pl[k, :m] = facing % n_pl
+        kf_pl_obs[k, :m] = (cam[facing]
+                            + 0.002 * rng.randn(m, 4).astype(np.float32))
+        if m >= 2:
+            kf_pl_par[k, 0] = facing[1] % n_pl         # opposite wall
+            kf_pl_ver[k, 0] = facing[-1] % n_pl
+
+    # vertical room edges as map lines
+    NL = cfg.map.max_lines
+    Fl = cfg.line.max_lines
+    edges = np.asarray([
+        [0, 0, 0, 0, room.ymax, 0],
+        [room.xmax, 0, 0, room.xmax, room.ymax, 0],
+        [0, 0, room.zmax, 0, room.ymax, room.zmax],
+        [room.xmax, 0, room.zmax, room.xmax, room.ymax, room.zmax],
+    ], np.float32)
+    n_ln = min(len(edges), NL)
+    ln_ep = np.zeros((NL, 6), np.float32)
+    ln_ep[:n_ln] = edges[:n_ln]
+    ln_valid = np.zeros(NL, bool)
+    ln_valid[:n_ln] = True
+    kf_ln = np.full((NK, Fl), -1, np.int32)
+    kf_ln_obs = np.zeros((NK, Fl, 3), np.float32)
+    kf_ln_xyz = np.zeros((NK, Fl, 6), np.float32)
+    for k in range(n_kfs):
+        T = poses_true[k]
+        j = 0
+        for li in range(n_ln):
+            a = edges[li, :3] @ T[:3, :3].T + T[:3, 3]
+            b = edges[li, 3:] @ T[:3, :3].T + T[:3, 3]
+            if a[2] < 0.3 or b[2] < 0.3 or j >= Fl:
+                continue
+            ua = np.array([K4[0] * a[0] / a[2] + K4[2],
+                           K4[1] * a[1] / a[2] + K4[3], 1.0])
+            ub = np.array([K4[0] * b[0] / b[2] + K4[2],
+                           K4[1] * b[1] / b[2] + K4[3], 1.0])
+            if not (0 < ua[0] < W and 0 < ub[0] < W):
+                continue
+            eq = np.cross(ua, ub)
+            eq /= max(np.linalg.norm(eq[:2]), 1e-9)
+            kf_ln[k, j] = li
+            kf_ln_obs[k, j] = eq.astype(np.float32)
+            kf_ln_xyz[k, j] = np.concatenate([a, b]).astype(np.float32)
+            j += 1
+
+    st = make_empty_state(cfg)
+    st = st._replace(
+        pt_pos=jnp.asarray(pts + pt_noise
+                           * rng.randn(NP, 3).astype(np.float32)),
+        pt_valid=jnp.asarray(pt_seen),
+        kf_pose=jnp.asarray(kf_pose),
+        kf_valid=jnp.asarray(np.arange(NK) < n_kfs),
+        kf_seq=jnp.asarray(np.where(np.arange(NK) < n_kfs,
+                                    np.arange(NK), -1), jnp.int32),
+        kf_uv=jnp.asarray(kf_uv), kf_xyz=jnp.asarray(kf_xyz),
+        kf_mp=jnp.asarray(kf_mp), kf_kp_valid=jnp.asarray(kf_kp_valid),
+        kf_sigma2=jnp.asarray(kf_sigma2),
+        kf_pl=jnp.asarray(kf_pl), kf_pl_par=jnp.asarray(kf_pl_par),
+        kf_pl_ver=jnp.asarray(kf_pl_ver), kf_pl_obs=jnp.asarray(kf_pl_obs),
+        kf_ln=jnp.asarray(kf_ln), kf_ln_obs=jnp.asarray(kf_ln_obs),
+        kf_ln_xyz=jnp.asarray(kf_ln_xyz),
+        pl_coef=jnp.asarray(pl_coef), pl_valid=jnp.asarray(pl_valid),
+        ln_ep=jnp.asarray(ln_ep),
+        ln_dir=jnp.asarray(np.tile([0.0, 1.0, 0.0],
+                                   (NL, 1)).astype(np.float32)),
+        ln_valid=jnp.asarray(ln_valid),
+        n_pts=jnp.asarray(int(pt_seen.sum()), jnp.int32),
+        n_kfs=jnp.asarray(n_kfs, jnp.int32),
+        n_lns=jnp.asarray(n_ln, jnp.int32),
+        kf_next_seq=jnp.asarray(n_kfs, jnp.int32))
+    return st, poses_true

