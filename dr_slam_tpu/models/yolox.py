@@ -99,11 +99,15 @@ def load_params(path: str) -> dict:
     data = np.load(path, allow_pickle=True)
     p = {k: data[k].item() if data[k].dtype == object else data[k]
          for k in data.files}
-    # checkpoints may store fp16 (scripts/train_yolox.py); compute in fp32
+    # checkpoints may store fp16 (scripts/train_yolox.py); compute in fp32.
+    # Upcast float arrays in place, preserving any extra keys a checkpoint
+    # carries (BN stats, scales, ...) instead of rebuilding {'w','b'} only.
     for k, v in p.items():
-        if isinstance(v, dict) and "w" in v:
-            p[k] = {"w": np.asarray(v["w"], np.float32),
-                    "b": np.asarray(v["b"], np.float32)}
+        if isinstance(v, dict):
+            p[k] = {kk: (np.asarray(vv, np.float32)
+                         if isinstance(vv, np.ndarray)
+                         and vv.dtype.kind == "f" else vv)
+                    for kk, vv in v.items()}
     return p
 
 

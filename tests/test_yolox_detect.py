@@ -61,8 +61,27 @@ def test_shipped_weights_detect():
 
 def test_system_accepts_detector():
     """System(detector=...) runs detections on keyframes and exposes them
-    (viewer overlay path; reference keeps them out of pose math too)."""
+    via last_detections (viewer overlay path; like the reference the boxes
+    stay out of pose math -- Frame::ExtractObject feeds only DrawObjects)."""
+    from dr_slam_tpu.io import synthetic
     from dr_slam_tpu.models.yolox import YOLOX
+    from dr_slam_tpu.slam.system import System
+    from tests.test_tracking_e2e import small_cfg
 
+    cfg = small_cfg()
     det = YOLOX(weights=WEIGHTS, input_size=256, score_th=0.4)
-    assert det.params["meta"]["widths"][0] >= 8
+    seq = synthetic.SyntheticSequence(
+        synthetic.corridor_trajectory(12), K4=cfg.camera.K4,
+        height=cfg.camera.height, width=cfg.camera.width)
+    sys_ = System(cfg, detector=det, enable_loop_closing=False)
+    saw_detections = False
+    for i in range(12):
+        g, d = seq.render(i)
+        sys_.track_rgbd(np.asarray(g), np.asarray(d), i / 30.0)
+        if sys_.last_detections is not None:
+            saw_detections = True
+    # a keyframe was inserted, so the detector ran and its output is exposed
+    assert saw_detections
+    out = sys_.last_detections
+    assert hasattr(out, "boxes") and hasattr(out, "valid")
+    assert np.asarray(out.boxes).shape[-1] == 4
