@@ -65,11 +65,13 @@ def bench_tracking(n_frames: int = 60) -> float | None:
     return (n_frames - warm) / dt
 
 
-def bench_odometry(n_frames: int = 48) -> float | None:
+def bench_odometry(n_frames: int = 240) -> float | None:
     """Per-frame tracking throughput with pipelined dispatch: extract_frame +
     the fused track_step chained on device against a built map, no per-frame
     host readbacks (the production serving pattern -- the state machine runs
-    off the critical path).
+    off the critical path). 240 timed frames: at ~3-4k fps the old 48-frame
+    window was ~15 ms of wall clock, and run-to-run host jitter produced
+    20-30% swings (the r3->r4 'regression' was exactly this noise).
 
     NOTE: the axon TPU runtime degrades permanently (~500x dispatch latency)
     after ~12 synchronous scalar readbacks in a process (reproducible with a

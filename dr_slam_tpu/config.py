@@ -144,6 +144,14 @@ class TrackingConfig:
     motion_search_radius: float = 28.0
     local_search_radius: float = 8.0    # stage-2 rematch window
     reloc_search_radius: float = 10.0
+    # Candidate compaction in match_points_projection: gather in-frustum
+    # point rows into a buffer this size before the descriptor matmul.
+    # <= 0 disables (full-table matmul). Measured on the v5e chip the
+    # full-table matmul and the compacted path are within run noise at the
+    # 32k default capacity (dispatch-bound at ~0.3 ms/frame), so this
+    # defaults off; it exists for bigger point capacities, where the
+    # matmul eventually dominates.
+    match_candidates: int = 0
     # Use matched map lines as pose-optimization edges (the reference's
     # EdgeLineProjectXYZOnlyPose, include/EdgeLine.h:155). Round 1 gated
     # them out because the cell-grid line equations carried ~3 px of

@@ -83,14 +83,15 @@ _MATCH_CHUNK = 4096  # map points per scan step: bounds temporaries to
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "pt_scale",
-                                    "n_levels"))
+                                    "n_levels", "max_candidates"))
 def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
                             T_pred, K4, radius: float,
                             max_hamming: float = TH_HIGH,
                             width: int = 640, height: int = 480,
                             kp_angle=None, kp_octave=None,
                             pt_scale: float = 1.2,
-                            n_levels: int = 8) -> PointMatches:
+                            n_levels: int = 8,
+                            max_candidates: int = 0) -> PointMatches:
     from dr_slam_tpu.ops.orb import bits_to_signs, unpack_bits
 
     NP = state.pt_pos.shape[0]
@@ -128,9 +129,43 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
     n_pred = jnp.where(has_si, n_pred, 0)
     pt_radius = radius * jnp.asarray(pt_scale, jnp.float32) ** n_pred
 
-    C = min(_MATCH_CHUNK, NP)
-    n_chunks = -(-NP // C)
-    pad = n_chunks * C - NP
+    # --- candidate compaction: the map's point table is a fixed-capacity
+    # 32k-slot array, but only the in-frustum points (typically a few
+    # thousand) can match -- running the (K, 256)x(256, NP) descriptor
+    # matmul over every slot wastes 4-8x MXU work on dead/behind-camera
+    # rows. Stable cumsum compaction gathers the visible rows into a
+    # max_candidates-sized buffer first (the reference's SearchByProjection
+    # also iterates in-frustum points only, ORBmatcher.cc:46). Overflow
+    # beyond max_candidates drops newest slots first (slot order ~
+    # insertion order, so long-established landmarks are kept).
+    # max_candidates <= 0 disables compaction (full-table matmul): measured
+    # on the v5e chip both are within run noise at the default 32k capacity
+    # (the per-frame program is dispatch-bound), so compaction is opt-in
+    # via TrackingConfig.match_candidates for larger capacities.
+    NC = min(max_candidates, NP) if max_candidates > 0 else NP
+    if NC < NP:
+        pos = jnp.cumsum(vis.astype(jnp.int32)) - 1
+        tgt = jnp.where(vis & (pos < NC), pos, NC)
+        cand = (jnp.zeros((NC + 1,), jnp.int32)
+                .at[tgt].set(jnp.arange(NP, dtype=jnp.int32))[:NC])
+        n_cand = jnp.minimum(jnp.sum(vis), NC)
+        cand_valid = jnp.arange(NC) < n_cand
+        pt_desc = state.pt_desc[cand]
+        pt_angle = state.pt_angle[cand]
+        uv_c = uv[cand]
+        rad_c = pt_radius[cand]
+        lvl_c = n_pred[cand]
+        si_c = has_si[cand]
+    else:
+        NC = NP
+        cand = jnp.arange(NP, dtype=jnp.int32)
+        cand_valid = vis
+        pt_desc, pt_angle = state.pt_desc, state.pt_angle
+        uv_c, rad_c, lvl_c, si_c = uv, pt_radius, n_pred, has_si
+
+    C = min(_MATCH_CHUNK, NC)
+    n_chunks = -(-NC // C)
+    pad = n_chunks * C - NC
 
     def pad_to(x, fill=0):
         if pad == 0:
@@ -139,13 +174,13 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
                        constant_values=fill)
 
     signs_kp = bits_to_signs(unpack_bits(kp_desc))            # (K, 256)
-    pt_signs = bits_to_signs(unpack_bits(pad_to(state.pt_desc)))
+    pt_signs = bits_to_signs(unpack_bits(pad_to(pt_desc)))
     pt_signs = pt_signs.reshape(n_chunks, C, 256)
-    uv_ch = pad_to(uv, 1e9).reshape(n_chunks, C, 2)
-    vis_ch = pad_to(vis, False).reshape(n_chunks, C)
-    rad_ch = pad_to(pt_radius).reshape(n_chunks, C)
-    lvl_ch = pad_to(n_pred).reshape(n_chunks, C)
-    si_ch = pad_to(has_si, False).reshape(n_chunks, C)
+    uv_ch = pad_to(uv_c, 1e9).reshape(n_chunks, C, 2)
+    vis_ch = pad_to(cand_valid, False).reshape(n_chunks, C)
+    rad_ch = pad_to(rad_c).reshape(n_chunks, C)
+    lvl_ch = pad_to(lvl_c).reshape(n_chunks, C)
+    si_ch = pad_to(si_c, False).reshape(n_chunks, C)
     offs = (jnp.arange(n_chunks, dtype=jnp.int32) * C)
 
     k_idx = jnp.arange(K, dtype=jnp.int32)
@@ -185,7 +220,7 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
             jnp.full((K,), jnp.inf))
     (best_d, best_pt, second), (pk, pd) = jax.lax.scan(
         body, init, (pt_signs, uv_ch, vis_ch, rad_ch, lvl_ch, si_ch, offs))
-    pbest_k = pk.reshape(-1)[:NP]                              # (NP,)
+    pbest_k = pk.reshape(-1)[:NC]                              # (NC,)
 
     ok = best_d <= max_hamming
     # ambiguity test: a second candidate nearly as good means a repetitive
@@ -195,9 +230,9 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
     # mutual best
     ok &= pbest_k[best_pt] == k_idx
     if kp_angle is not None:
-        dangle = kp_angle - state.pt_angle[best_pt]
+        dangle = kp_angle - pt_angle[best_pt]
         ok = rotation_consistency(ok, dangle)
-    mp_idx = jnp.where(ok, best_pt, -1)
+    mp_idx = jnp.where(ok, cand[best_pt], -1)   # candidate -> map-point id
     return PointMatches(mp_idx=mp_idx, n_matches=jnp.sum(ok), visible=vis)
 
 

@@ -237,3 +237,61 @@ def test_add_keyframe_sets_invariance_band():
     # octave-0 feature at depth 2.0 through the principal point: creation
     # distance is exactly 2.0
     assert abs(dmax[0] - 2.0) < 1e-5
+
+
+def test_match_projection_candidate_compaction_equivalent():
+    """The candidate-compaction fast path (gather in-frustum rows before the
+    descriptor matmul) must produce EXACTLY the matches of the full-table
+    path whenever the visible set fits in max_candidates."""
+    from dr_slam_tpu.config import LineConfig
+    from dr_slam_tpu.io.synthetic import synthetic_map_state
+
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=267.7, fy=269.6, cx=160.0, cy=120.0,
+                            width=320, height=240, bf=20.0),
+        orb=ORBConfig(n_features=400, n_levels=4, max_keypoints=256),
+        line=LineConfig(max_lines=8),
+        map=MapConfig(max_points=8192, max_lines=16, max_planes=8,
+                      max_keyframes=64, vocab_words=64))
+    st, poses = synthetic_map_state(cfg, n_kfs=48, seed=7)
+    # give the points real descriptors + creation state so every gate is
+    # live. Scale-invariance bounds are keyed to the distance from KF0 (as
+    # at creation): the predicted octave for a KF0-posed query is then ~0,
+    # consistent with the octave-0 keypoints below -- exactly how creation
+    # wires them in add_keyframe.
+    rng = np.random.RandomState(0)
+    NP = cfg.map.max_points
+    d0 = jnp.linalg.norm(
+        st.pt_pos @ jnp.asarray(poses[0][:3, :3]).T
+        + jnp.asarray(poses[0][:3, 3]), axis=1)
+    st = st._replace(
+        pt_desc=jnp.asarray(
+            rng.randint(0, 2 ** 32, (NP, 8), dtype=np.uint32)),
+        pt_angle=jnp.asarray(rng.uniform(0, 2 * np.pi, NP), jnp.float32),
+        pt_dist_min=(d0 / 1.2 ** 3).astype(jnp.float32),
+        pt_dist_max=d0.astype(jnp.float32),
+        pt_normal=st.pt_pos / jnp.maximum(
+            jnp.linalg.norm(st.pt_pos, axis=1, keepdims=True), 1e-6))
+    # frame keypoints: slot-0 keyframe's stored observations plus noise
+    K = cfg.orb.max_keypoints
+    kp_uv = st.kf_uv[0] + 0.5
+    kp_valid = st.kf_kp_valid[0]
+    ids = jnp.clip(st.kf_mp[0], 0)
+    kp_desc = st.pt_desc[ids]
+    kp_angle = st.pt_angle[ids]
+    kp_oct = jnp.zeros((K,), jnp.int32)
+    kw = dict(radius=12.0, width=320, height=240, kp_angle=kp_angle,
+              kp_octave=kp_oct, pt_scale=1.2, n_levels=4)
+    full = map_ops.match_points_projection(
+        st, kp_uv, kp_desc, kp_valid, poses[0], cfg.camera.K4,
+        max_candidates=NP, **kw)
+    compact = map_ops.match_points_projection(
+        st, kp_uv, kp_desc, kp_valid, poses[0], cfg.camera.K4,
+        max_candidates=2048, **kw)
+    n_vis = int(jnp.sum(full.visible))
+    assert 0 < n_vis <= 2048, n_vis
+    assert int(full.n_matches) > 50
+    np.testing.assert_array_equal(np.asarray(full.mp_idx),
+                                  np.asarray(compact.mp_idx))
+    np.testing.assert_array_equal(np.asarray(full.visible),
+                                  np.asarray(compact.visible))
