@@ -158,7 +158,7 @@ def test_device_loop_online_loop_closing():
     import dataclasses
     import jax
 
-    from tests.test_loop_closure import _drift_T
+    from dr_slam_tpu.io.drift import drift_T as _drift_T
 
     cfg0 = small_cfg()
     cfg = cfg0.replace(tracking=dataclasses.replace(
@@ -206,10 +206,10 @@ def test_device_loop_online_loop_closing():
 
 def _inject_device_drift(tr):
     """Progressive gauge drift for the DEVICE loop (same construction as
-    tests/test_loop_closure._inject_progressive_drift, applied to the
+    dr_slam_tpu.io.drift.inject_progressive_drift, applied to the
     device carry): keyframes twist with insertion seq, points/planes/lines
     move with their newest observer, the live pose rides the full twist."""
-    from tests.test_loop_closure import _drift_T
+    from dr_slam_tpu.io.drift import drift_T as _drift_T
 
     st = tr.carry.map_state
     kf_valid = np.asarray(st.kf_valid)

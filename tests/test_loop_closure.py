@@ -16,6 +16,7 @@ import dataclasses
 import json
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from dr_slam_tpu.io import synthetic
