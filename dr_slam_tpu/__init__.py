@@ -24,14 +24,42 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _machine_fingerprint() -> str:
+    """Short hash of what makes an XLA:CPU AOT artifact machine-specific.
+
+    The working tree travels between hosts (driver, judge, TPU bench), and
+    XLA:CPU cache entries embed code generated for the compiling host's CPU
+    features -- loading one on a different machine SIGILLs/segfaults (this
+    was the round-4 single-process pytest crash: stale cross-machine entries
+    in .jax_cache). Keying the cache directory by CPU flags + jax version
+    makes a foreign host's entries invisible instead of fatal."""
+    import hashlib
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:
+        import platform
+        feats = platform.machine() + platform.processor()
+    import jax
+    return hashlib.sha256(
+        (feats + jax.__version__).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persist XLA compilations to disk; the front-end/track jits are large
-    (minutes to compile cold) and identical across runs."""
+    (minutes to compile cold) and identical across runs. The directory is
+    namespaced per machine fingerprint (see _machine_fingerprint)."""
     import jax
 
     cache_dir = path or _os.environ.get(
         "DR_SLAM_TPU_CACHE", _os.path.join(_os.path.dirname(__file__), "..",
                                            ".jax_cache"))
+    cache_dir = _os.path.join(cache_dir, _machine_fingerprint())
     _os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -1,15 +1,18 @@
 #!/usr/bin/env bash
 # Run the test suite one file per process.
 #
-# Rationale: the suite compiles hundreds of XLA CPU executables; run as a
-# single process the cumulative compile state eventually segfaults inside
-# backend_compile_and_load (~test 120), masking any real failures in the
-# tail (VERDICT r03 "What's weak" #3). Per-file processes bound the compile
-# cache per process and make every test's verdict observable.
+# Per-file runs are the CACHE BUILDERS: short processes write the XLA
+# persistent compilation cache safely, so DRSLAM_TEST_CACHE_WRITES=1 here.
+# A plain single-process `pytest tests/` is ALSO supported -- its conftest
+# leaves the cache read-only, because XLA:CPU executable serialization
+# segfaults late in a long process (jax compilation_cache
+# put_executable_and_time; root-caused round 5 -- the crash was never
+# cumulative compile state, it is the cache-write path).
 #
 # Usage: scripts/run_tests.sh [extra pytest args...]
 set -u
 cd "$(dirname "$0")/.."
+export DRSLAM_TEST_CACHE_WRITES=1
 
 pass=0
 fail=0
