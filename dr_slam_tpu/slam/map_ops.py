@@ -188,33 +188,49 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
     def body(carry, chunk):
         best_d, best_i, second_d = carry
         sg, uvc, vc, radc, lvlc, sic, off = chunk
-        dot = jnp.dot(signs_kp, sg.T, preferred_element_type=jnp.float32)
-        ham = (256.0 - dot) * 0.5                              # (K, C)
-        du = jnp.abs(kp_uv[:, 0:1] - uvc[None, :, 0])
-        dv = jnp.abs(kp_uv[:, 1:2] - uvc[None, :, 1])
-        gate = ((du < radc[None, :]) & (dv < radc[None, :])
-                & vc[None, :] & kp_valid[:, None])
-        if kp_octave is not None:
-            # keypoint must live within one pyramid level of the predicted
-            # one (ORBmatcher::SearchByProjection's nPredictedLevel-1 ..
-            # nPredictedLevel window) -- a far landmark cannot match a
-            # fine-level corner and vice versa
-            dlvl = jnp.abs(kp_octave[:, None].astype(jnp.int32)
-                           - lvlc[None, :])
-            gate &= (dlvl <= 1) | ~sic[None, :]
-        D = jnp.where(gate, ham, jnp.inf)
-        cmin = jnp.min(D, 1)
-        carg = jnp.argmin(D, 1).astype(jnp.int32)
-        csec = jnp.min(D.at[k_idx, carg].set(jnp.inf), 1)
-        # merge (best, second) pairs across chunks
-        new_best = jnp.minimum(best_d, cmin)
-        new_second = jnp.minimum(jnp.maximum(best_d, cmin),
-                                 jnp.minimum(second_d, csec))
-        new_i = jnp.where(cmin < best_d, carg + off, best_i)
-        # per-point best keypoint (for the mutual check)
-        pbest_k = jnp.argmin(D, 0).astype(jnp.int32)
-        pbest_d = jnp.min(D, 0)
-        return (new_best, new_i, new_second), (pbest_k, pbest_d)
+
+        def compute(carry):
+            best_d, best_i, second_d = carry
+            dot = jnp.dot(signs_kp, sg.T,
+                          preferred_element_type=jnp.float32)
+            ham = (256.0 - dot) * 0.5                          # (K, C)
+            du = jnp.abs(kp_uv[:, 0:1] - uvc[None, :, 0])
+            dv = jnp.abs(kp_uv[:, 1:2] - uvc[None, :, 1])
+            gate = ((du < radc[None, :]) & (dv < radc[None, :])
+                    & vc[None, :] & kp_valid[:, None])
+            if kp_octave is not None:
+                # keypoint must live within one pyramid level of the
+                # predicted one (ORBmatcher::SearchByProjection's
+                # nPredictedLevel-1 .. nPredictedLevel window) -- a far
+                # landmark cannot match a fine-level corner and vice versa
+                dlvl = jnp.abs(kp_octave[:, None].astype(jnp.int32)
+                               - lvlc[None, :])
+                gate &= (dlvl <= 1) | ~sic[None, :]
+            D = jnp.where(gate, ham, jnp.inf)
+            cmin = jnp.min(D, 1)
+            carg = jnp.argmin(D, 1).astype(jnp.int32)
+            csec = jnp.min(D.at[k_idx, carg].set(jnp.inf), 1)
+            # merge (best, second) pairs across chunks
+            new_best = jnp.minimum(best_d, cmin)
+            new_second = jnp.minimum(jnp.maximum(best_d, cmin),
+                                     jnp.minimum(second_d, csec))
+            new_i = jnp.where(cmin < best_d, carg + off, best_i)
+            # per-point best keypoint (for the mutual check)
+            pbest_k = jnp.argmin(D, 0).astype(jnp.int32)
+            pbest_d = jnp.min(D, 0)
+            return (new_best, new_i, new_second), (pbest_k, pbest_d)
+
+        def skip(carry):
+            return carry, (jnp.zeros((sg.shape[0],), jnp.int32),
+                           jnp.full((sg.shape[0],), jnp.inf))
+
+        # chunks with no visible point contribute nothing: skip their
+        # descriptor matmul entirely (runtime branch). Cost then scales
+        # with the LIVE map extent, not the 32k slot capacity -- the
+        # tensor-program analog of SearchByProjection iterating only
+        # in-frustum points (ORBmatcher.cc:46). Slots fill low-first, so
+        # early maps touch 1-2 chunks out of 8.
+        return jax.lax.cond(jnp.any(vc), compute, skip, carry)
 
     init = (jnp.full((K,), jnp.inf), jnp.zeros((K,), jnp.int32),
             jnp.full((K,), jnp.inf))
