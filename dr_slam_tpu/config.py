@@ -141,6 +141,11 @@ class TrackingConfig:
     kf_close_tracked_max: int = 100  # at a 1000-feature budget
     kf_close_untracked_min: int = 70 # at a 1000-feature budget
     kf_min_inliers: int = 15         # c2 floor: never insert below this
+    # StereoInitialization floor (reference: >=500 depth-bearing features,
+    # Tracking.cc:1549; here 200 at the default 1000-feature budget).
+    # Configurable so reduced-budget configs (tiny test/dryrun worlds with
+    # 64-keypoint tables) can initialize at all.
+    init_min_depth_points: int = 200
     motion_search_radius: float = 28.0
     local_search_radius: float = 8.0    # stage-2 rematch window
     reloc_search_radius: float = 10.0

@@ -112,7 +112,7 @@ def _init_branch(carry: LoopCarry, feats, ts, cfg: SlamConfig):
     origin, planes/lines seed the map, Manhattan axes bootstrap from the
     frame's planes (Map::FindManhattan, src/Map.cc:178)."""
     n_depth = jnp.sum(feats.kp.valid & (feats.kp_depth > 1e-3))
-    ok = n_depth >= 200
+    ok = n_depth >= cfg.tracking.init_min_depth_points
 
     def do_init(c: LoopCarry):
         from dr_slam_tpu.associate.vocabulary import compute_bow
@@ -356,14 +356,12 @@ def _track_branch(carry: LoopCarry, feats, ts, cfg: SlamConfig,
     return new, rec
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "localization_only"),
-                   donate_argnums=(0,))
-def device_track_step(carry: LoopCarry, gray, depth, ts,
-                      cfg: SlamConfig, localization_only: bool = False):
-    """ONE device program per frame: front-end extraction + tracking + the
-    whole keyframe/LocalMapping state machine under lax.cond. Returns
-    (carry', record (REC_SIZE,) f32). The caller must never read the record
-    back until the end of the run (see module docstring)."""
+def device_track_step_impl(carry: LoopCarry, gray, depth, ts,
+                           cfg: SlamConfig,
+                           localization_only: bool = False):
+    """Un-jitted body of device_track_step -- also the unit
+    parallel/multi_seq.py maps over a device mesh (shard_map keeps the
+    lax.cond branches dynamic per device, unlike vmap's select)."""
     from dr_slam_tpu.frontend.frame import _extract_frame
     feats = _extract_frame(gray, depth, cfg.camera, cfg.orb, cfg.plane,
                            cfg.line)
@@ -377,6 +375,18 @@ def device_track_step(carry: LoopCarry, gray, depth, ts,
         lambda c: _track_branch(c, feats, ts, cfg, False),
         lambda c: _init_branch(c, feats, ts, cfg),
         carry)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "localization_only"),
+                   donate_argnums=(0,))
+def device_track_step(carry: LoopCarry, gray, depth, ts,
+                      cfg: SlamConfig, localization_only: bool = False):
+    """ONE device program per frame: front-end extraction + tracking + the
+    whole keyframe/LocalMapping state machine under lax.cond. Returns
+    (carry', record (REC_SIZE,) f32). The caller must never read the record
+    back until the end of the run (see module docstring)."""
+    return device_track_step_impl(carry, gray, depth, ts, cfg,
+                                  localization_only)
 
 
 class DeviceLoopTracker:

@@ -242,7 +242,7 @@ class Tracker:
                 "localization-only mode needs a loaded map (System.load_map) "
                 "-- cannot initialize a new map without mutating it")
         n_depth = int(jnp.sum(feats.kp.valid & (feats.kp_depth > 1e-3)))
-        if n_depth < 200:
+        if n_depth < self.cfg.tracking.init_min_depth_points:
             return TrackingResult(np.eye(4), self.state, 0, 0, False, False, ts)
 
         T0 = jnp.eye(4)
