@@ -230,8 +230,17 @@ def bench_interactive_device(n_frames: int = 120, warm: int = 25) -> float | Non
         tr.track(gray[i], depth[i], i / 30.0)
     jax.block_until_ready(tr.carry.T_cw)
     t0 = time.perf_counter()
+    # double-buffered H2D: issue the async transfer of frame i+1 before
+    # dispatching frame i, so the camera-link copy overlaps the device
+    # compute (what a real-time capture pipeline does with DMA). Measured:
+    # equal-or-better fps and it removes the occasional multi-ms H2D stall
+    # the synchronous path hits on the tunneled runtime.
+    nxt = (jax.device_put(gray[warm]), jax.device_put(depth[warm]))
     for i in range(warm, n_frames):
-        tr.track(gray[i], depth[i], i / 30.0)
+        cur = nxt
+        if i + 1 < n_frames:
+            nxt = (jax.device_put(gray[i + 1]), jax.device_put(depth[i + 1]))
+        tr.track(cur[0], cur[1], i / 30.0)
     jax.block_until_ready(tr.carry.T_cw)
     dt = time.perf_counter() - t0
     return (n_frames - warm) / dt
