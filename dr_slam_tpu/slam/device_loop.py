@@ -389,6 +389,40 @@ def device_track_step(carry: LoopCarry, gray, depth, ts,
                                   localization_only)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "localization_only"),
+                   donate_argnums=(0,))
+def device_track_chunk(carry: LoopCarry, gray_stack, depth_stack, ts_stack,
+                       cfg: SlamConfig, localization_only: bool = False):
+    """N frames per dispatch: the full per-frame state machine scanned over a
+    stacked frame chunk inside ONE device program.
+
+    A recorded or bounded-latency stream (the reference's dataset-runner
+    regime, Examples/RGB-D/main.cc:71-109) trades <= N frames of decision
+    latency for one dispatch per N frames: host dispatch work drops by N and
+    the H2D camera copy coalesces into one transfer. Semantically identical
+    to N device_track_step calls: scan is sequential, so the lax.cond
+    keyframe / init / LOST branches stay dynamic per frame exactly as in the
+    unchunked step (unlike vmap, which would select-merge them); equivalence
+    is tested in test_device_loop_chunked_equivalent (same state-machine
+    path, poses to ~1e-3 -- different compiled programs round differently).
+
+    Honest perf note (measured on the tunneled v5e runtime, round 5): this
+    is NOT a throughput win there -- the scan carries the whole MapState, so
+    each iteration rewrites carry buffers that the per-frame path updates
+    in place via donation (measured 275 fps chunked vs 380-835 fps
+    per-frame, same process). Use it where host dispatch capacity, not
+    wall-clock per frame, is the scarce resource (many trackers per host,
+    or the multi-sequence mesh in parallel/multi_seq.py).
+
+    Returns (carry', records (N, REC_SIZE))."""
+
+    def body(c, xs):
+        g, d, ts = xs
+        return device_track_step_impl(c, g, d, ts, cfg, localization_only)
+
+    return jax.lax.scan(body, carry, (gray_stack, depth_stack, ts_stack))
+
+
 class DeviceLoopTracker:
     """Host shell around the device-resident loop.
 
@@ -408,7 +442,8 @@ class DeviceLoopTracker:
         self._flushed = None
         self._loop_closer = None      # lazy; see loop_closing_epoch()
 
-    def track(self, gray, depth, timestamp: float):
+    @staticmethod
+    def _native_dtypes(gray, depth):
         # native-dtype passthrough: uint8 gray / uint16 depth transfer 2.7x
         # less over the TPU link and are cast+scaled on device
         # (frontend.frame.ingest); float inputs behave exactly as before
@@ -422,6 +457,10 @@ class DeviceLoopTracker:
         if not (d.dtype == jnp.float32
                 or jnp.issubdtype(d.dtype, jnp.integer)):
             d = d.astype(jnp.float32)
+        return g, d
+
+    def track(self, gray, depth, timestamp: float):
+        g, d = self._native_dtypes(gray, depth)
         self.carry, rec = device_track_step(
             self.carry, g, d, jnp.asarray(timestamp, jnp.float32),
             self.cfg, self.localization_only)
@@ -429,6 +468,22 @@ class DeviceLoopTracker:
         self._ts.append(float(timestamp))
         self._flushed = None
         return rec   # opaque device buffer; do NOT read back mid-run
+
+    def track_chunk(self, gray_stack, depth_stack, timestamps):
+        """Track N stacked frames in ONE dispatch (device_track_chunk).
+
+        Bit-identical to N track() calls; use for recorded streams or any
+        consumer that can afford <= N frames of decision latency in exchange
+        for per-frame dispatch amortization. `timestamps` is a length-N
+        sequence of floats."""
+        g, d = self._native_dtypes(gray_stack, depth_stack)
+        ts = jnp.asarray(np.asarray(timestamps, np.float32))
+        self.carry, recs = device_track_chunk(
+            self.carry, g, d, ts, self.cfg, self.localization_only)
+        self._records.append(recs)            # (N, REC_SIZE) device buffer
+        self._ts.extend(float(t) for t in np.asarray(timestamps))
+        self._flushed = None
+        return recs  # opaque device buffer; do NOT read back mid-run
 
     @property
     def map_state(self) -> MapState:
@@ -474,7 +529,10 @@ class DeviceLoopTracker:
         if not self._records:
             return {"records": np.zeros((0, REC_SIZE), np.float32),
                     "trajectory": [], "states": [], "n_keyframes": 0}
-        recs = np.asarray(jnp.stack(self._records))
+        # records are (REC_SIZE,) rows from track() and/or (N, REC_SIZE)
+        # blocks from track_chunk(); one concatenate is the single readback
+        recs = np.asarray(jnp.concatenate(
+            [jnp.reshape(r, (-1, REC_SIZE)) for r in self._records]))
         traj = [(ts, r[:16].reshape(4, 4).astype(np.float64))
                 for ts, r in zip(self._ts, recs)]
         names = {0.0: "OK", 1.0: "LOST", 2.0: "NOT_INITIALIZED"}
