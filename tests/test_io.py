@@ -23,6 +23,27 @@ def test_config_defaults_and_yaml(tmp_path):
     assert cfg2.camera.fy == 539.2
 
 
+def test_dataset_presets_cover_reference_yamls():
+    """One preset per reference Examples/RGB-D/*.yaml camera model."""
+    from dr_slam_tpu import config as C
+
+    presets = {
+        "TUM1": C.tum_freiburg1(), "TUM2": C.tum_freiburg2(),
+        "TUM3": C.tum_freiburg3(), "ICL": C.icl_nuim(),
+        "TAMU": C.tamu(), "Realsense": C.realsense(),
+        "TartanAir": C.tartanair(),
+    }
+    for name, cfg in presets.items():
+        assert cfg.camera.width == 640 and cfg.camera.height == 480, name
+        assert cfg.camera.fps == 30.0, name
+        assert cfg.camera.depth_factor > 0, name
+    # spot values against the reference YAMLs
+    assert presets["TUM1"].camera.k1 == 0.262383         # TUM1.yaml
+    assert presets["TUM2"].camera.depth_factor == 5208.0  # TUM2.yaml
+    assert presets["Realsense"].camera.depth_factor == 1000.0
+    assert presets["TartanAir"].camera.fx == 320.0
+
+
 def test_synthetic_render_depth_consistency():
     seq = synthetic.SyntheticSequence(synthetic.corridor_trajectory(3))
     gray, depth = seq.render(0)
