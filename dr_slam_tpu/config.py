@@ -157,6 +157,13 @@ class TrackingConfig:
     # defaults off; it exists for bigger point capacities, where the
     # matmul eventually dominates.
     match_candidates: int = 0
+    # Projection-matcher backend: "auto" runs the Pallas streaming top-2
+    # kernel (ops/match_pallas.py) on the native TPU backend and the XLA
+    # scan path elsewhere; True/False force it. The kernel is bit-exact vs
+    # the scan path (tests/test_map_ops.py) and keeps the (K, C) distance
+    # block in VMEM instead of HBM. On the axon-tunneled runtime it
+    # compiles and runs but stays opt-in (see map_ops._resolve_pallas).
+    pallas_matcher: object = "auto"
     # Use matched map lines as pose-optimization edges (the reference's
     # EdgeLineProjectXYZOnlyPose, include/EdgeLine.h:155). Round 1 gated
     # them out because the cell-grid line equations carried ~3 px of

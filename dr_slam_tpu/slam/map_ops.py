@@ -81,9 +81,20 @@ _MATCH_CHUNK = 4096  # map points per scan step: bounds temporaries to
                      # is ~134 MB x several buffers and fragments HBM)
 
 
+def _resolve_pallas(flag) -> bool:
+    """'auto' -> the Mosaic kernel on the native TPU backend, the XLA scan
+    path elsewhere (CPU has only the slow Pallas interpreter; the axon
+    tunnel's remote-compile service has repeatedly wedged under Mosaic
+    kernels in this environment, so it must opt in via use_pallas=True)."""
+    if flag == "auto" or flag is None:
+        return jax.default_backend() == "tpu"
+    return bool(flag)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "pt_scale",
-                                    "n_levels", "max_candidates"))
+                                    "n_levels", "max_candidates",
+                                    "use_pallas"))
 def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
                             T_pred, K4, radius: float,
                             max_hamming: float = TH_HIGH,
@@ -91,7 +102,8 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
                             kp_angle=None, kp_octave=None,
                             pt_scale: float = 1.2,
                             n_levels: int = 8,
-                            max_candidates: int = 0) -> PointMatches:
+                            max_candidates: int = 0,
+                            use_pallas="auto") -> PointMatches:
     from dr_slam_tpu.ops.orb import bits_to_signs, unpack_bits
 
     NP = state.pt_pos.shape[0]
@@ -163,6 +175,59 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
         pt_desc, pt_angle = state.pt_desc, state.pt_angle
         uv_c, rad_c, lvl_c, si_c = uv, pt_radius, n_pred, has_si
 
+    if _resolve_pallas(use_pallas):
+        # ---- Pallas streaming path: one Mosaic kernel, no (K, NC) f32
+        # distance block in HBM (ops/match_pallas.py). Bit-exact vs the
+        # scan path below (test_match_projection_pallas_equivalent).
+        from dr_slam_tpu.ops.match_pallas import TILE_C, gated_top2_hamming
+
+        padp = -NC % TILE_C
+
+        def pad_p(x, fill=0):
+            if padp == 0:
+                return x
+            return jnp.pad(x, [(0, padp)] + [(0, 0)] * (x.ndim - 1),
+                           constant_values=fill)
+
+        signs_kp = bits_to_signs(unpack_bits(kp_desc))        # (K, 256)
+        psigns = bits_to_signs(unpack_bits(pad_p(pt_desc)))
+        oct_ = (jnp.zeros((K,), jnp.int32) if kp_octave is None
+                else kp_octave)
+        si_p = (jnp.zeros_like(pad_p(si_c, False)) if kp_octave is None
+                else pad_p(si_c, False))
+        best_d, best_pt, second, pbest_k = gated_top2_hamming(
+            signs_kp, kp_uv, kp_valid, oct_, psigns, pad_p(uv_c, 1e9),
+            pad_p(rad_c), pad_p(lvl_c), si_p, pad_p(cand_valid, False),
+            interpret=jax.default_backend() == "cpu")
+        pbest_k = pbest_k[:NC]
+        pt_angle_c = pt_angle
+    else:
+        best_d, best_pt, second, pbest_k, signs_kp, pt_angle_c = \
+            _match_scan_path(kp_desc, kp_uv, kp_valid, kp_octave, pt_desc,
+                             pt_angle, uv_c, rad_c, lvl_c, si_c,
+                             cand_valid, NC)
+
+    ok = best_d <= max_hamming
+    # ambiguity test: a second candidate nearly as good means a repetitive
+    # region -- reject (ORBmatcher's mfNNratio idea); crucial against
+    # window-gate bias feedback on periodic texture
+    ok &= best_d < 0.85 * second
+    # mutual best
+    k_idx = jnp.arange(K, dtype=jnp.int32)
+    ok &= pbest_k[best_pt] == k_idx
+    if kp_angle is not None:
+        dangle = kp_angle - pt_angle_c[best_pt]
+        ok = rotation_consistency(ok, dangle)
+    mp_idx = jnp.where(ok, cand[best_pt], -1)   # candidate -> map-point id
+    return PointMatches(mp_idx=mp_idx, n_matches=jnp.sum(ok), visible=vis)
+
+
+def _match_scan_path(kp_desc, kp_uv, kp_valid, kp_octave, pt_desc, pt_angle,
+                     uv_c, rad_c, lvl_c, si_c, cand_valid, NC):
+    """The XLA lax.scan matcher core (CPU path and pallas cross-check)."""
+    from dr_slam_tpu.ops.orb import bits_to_signs, unpack_bits
+
+    K = kp_uv.shape[0]
     C = min(_MATCH_CHUNK, NC)
     n_chunks = -(-NC // C)
     pad = n_chunks * C - NC
@@ -237,19 +302,7 @@ def match_points_projection(state: MapState, kp_uv, kp_desc, kp_valid,
     (best_d, best_pt, second), (pk, pd) = jax.lax.scan(
         body, init, (pt_signs, uv_ch, vis_ch, rad_ch, lvl_ch, si_ch, offs))
     pbest_k = pk.reshape(-1)[:NC]                              # (NC,)
-
-    ok = best_d <= max_hamming
-    # ambiguity test: a second candidate nearly as good means a repetitive
-    # region -- reject (ORBmatcher's mfNNratio idea); crucial against
-    # window-gate bias feedback on periodic texture
-    ok &= best_d < 0.85 * second
-    # mutual best
-    ok &= pbest_k[best_pt] == k_idx
-    if kp_angle is not None:
-        dangle = kp_angle - pt_angle[best_pt]
-        ok = rotation_consistency(ok, dangle)
-    mp_idx = jnp.where(ok, cand[best_pt], -1)   # candidate -> map-point id
-    return PointMatches(mp_idx=mp_idx, n_matches=jnp.sum(ok), visible=vis)
+    return best_d, best_pt, second, pbest_k, signs_kp, pt_angle
 
 
 @jax.jit

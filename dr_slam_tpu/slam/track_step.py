@@ -106,7 +106,8 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
         radius=tr.motion_search_radius, max_hamming=64.0,
         width=cam.width, height=cam.height, kp_angle=feats.kp.angle,
         kp_octave=feats.kp.octave, pt_scale=cfg.orb.scale_factor,
-        n_levels=cfg.orb.n_levels, max_candidates=tr.match_candidates)
+        n_levels=cfg.orb.n_levels, max_candidates=tr.match_candidates,
+        use_pallas=tr.pallas_matcher)
     mp_idx = pm.mp_idx
     if tr.use_ref_kf_anchor:
         # BoW-word-bucketed SearchByBoW (ORBmatcher.cc:160): same-word
@@ -175,7 +176,8 @@ def track_step(state: MapState, feats: FrameFeatures, T_last, velocity,
         radius=tr.local_search_radius, max_hamming=map_ops.TH_LOW + 10.0,
         width=cam.width, height=cam.height, kp_angle=feats.kp.angle,
         kp_octave=feats.kp.octave, pt_scale=cfg.orb.scale_factor,
-        n_levels=cfg.orb.n_levels, max_candidates=tr.match_candidates)
+        n_levels=cfg.orb.n_levels, max_candidates=tr.match_candidates,
+        use_pallas=tr.pallas_matcher)
     mp_idx2 = jnp.where(pm2.mp_idx >= 0, pm2.mp_idx, mp_idx)
     # Deduplicate across the two passes: stage-1 and stage-2 are each
     # mutually-exclusive internally, but a stage-1 carry-over can collide

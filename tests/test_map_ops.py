@@ -295,3 +295,18 @@ def test_match_projection_candidate_compaction_equivalent():
                                   np.asarray(compact.mp_idx))
     np.testing.assert_array_equal(np.asarray(full.visible),
                                   np.asarray(compact.visible))
+    # the Pallas streaming kernel (ops/match_pallas.py, interpreted on CPU)
+    # must be BIT-exact vs the scan path: +/-1 dots are exact integers in
+    # f32, gates/merges are the same ops, argmin tie-breaking matches
+    pallas = map_ops.match_points_projection(
+        st, kp_uv, kp_desc, kp_valid, poses[0], cfg.camera.K4,
+        max_candidates=NP, use_pallas=True, **kw)
+    np.testing.assert_array_equal(np.asarray(full.mp_idx),
+                                  np.asarray(pallas.mp_idx))
+    assert int(pallas.n_matches) == int(full.n_matches)
+    # and through the compaction path too
+    pallas_c = map_ops.match_points_projection(
+        st, kp_uv, kp_desc, kp_valid, poses[0], cfg.camera.K4,
+        max_candidates=2048, use_pallas=True, **kw)
+    np.testing.assert_array_equal(np.asarray(compact.mp_idx),
+                                  np.asarray(pallas_c.mp_idx))
