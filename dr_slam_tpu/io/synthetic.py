@@ -419,8 +419,25 @@ def synthetic_map_state(cfg, n_kfs: int, seed: int = 0,
             kf_ln_xyz[k, j] = np.concatenate([a, b]).astype(np.float32)
             j += 1
 
+    # BoW tf vectors derived from the REAL observations: each map point
+    # hashes to a vocabulary word, each keyframe's tf row is the normalized
+    # histogram of its observed points' words.  Co-visible keyframes share
+    # words exactly as DBoW2 rows do on real imagery, so place-recognition
+    # paths (keyframe_db / parallel.sharded_place) see realistic structure
+    # (self-score 1.0, neighbours high, far keyframes low).
+    Wv = cfg.map.vocab_words
+    word_of_pt = (np.asarray(
+        (np.arange(NP, dtype=np.uint64) * np.uint64(2654435761))
+        % np.uint64(Wv))).astype(np.int64)
+    kf_bow = np.zeros((NK, Wv), np.float32)
+    for k in range(n_kfs):
+        obs = kf_mp[k][kf_kp_valid[k]]
+        np.add.at(kf_bow[k], word_of_pt[obs], 1.0)
+        kf_bow[k] /= max(kf_bow[k].sum(), 1.0)
+
     st = make_empty_state(cfg)
     st = st._replace(
+        kf_bow=jnp.asarray(kf_bow),
         pt_pos=jnp.asarray(pts + pt_noise
                            * rng.randn(NP, 3).astype(np.float32)),
         pt_valid=jnp.asarray(pt_seen),

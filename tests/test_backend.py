@@ -223,3 +223,38 @@ def test_sharded_ba_realistic_map():
     e1 = float(jnp.mean(jnp.linalg.norm(
         jnp.asarray(T8)[:240, :3, 3] - poses_true[:, :3, 3], axis=1)))
     assert e1 < 0.7 * e0, (e0, e1)
+
+
+def test_sharded_place_recognition_matches_single_device():
+    """BoW place-recognition scoring with the keyframe axis sharded over
+    the 8-device mesh must equal the single-device scores/common-word
+    counts exactly, including through a non-divisible NK (padding path),
+    and the shards must actually land one-per-device."""
+    from dr_slam_tpu.associate.keyframe_db import common_word_counts
+    from dr_slam_tpu.associate.vocabulary import bow_scores
+    from dr_slam_tpu.parallel import sharded_ba, sharded_place
+
+    rng = np.random.RandomState(5)
+    NK, W = 203, 256                      # NK deliberately not 8-divisible
+    kf_bows = rng.rand(NK, W).astype(np.float32)
+    kf_bows[rng.rand(NK, W) < 0.85] = 0.0  # sparse tf vectors
+    kf_bows /= np.maximum(kf_bows.sum(1, keepdims=True), 1e-6)
+    kf_valid = rng.rand(NK) < 0.8
+    bow = kf_bows[17] * 0.7 + kf_bows[90] * 0.3
+
+    mesh = sharded_ba.make_mesh(8, axis="kf")
+    sharded = sharded_place.shard_keyframe_bows(
+        jnp.asarray(kf_bows), jnp.asarray(kf_valid), mesh, axis="kf")
+    # the big table is genuinely distributed: 8 addressable shards
+    assert len(sharded[0].sharding.device_set) == 8
+    s8, c8 = sharded_place.sharded_place_scores(jnp.asarray(bow), sharded,
+                                                mesh)
+    s1 = bow_scores(jnp.asarray(bow), jnp.asarray(kf_bows),
+                    jnp.asarray(kf_valid))
+    c1 = common_word_counts(jnp.asarray(bow), jnp.asarray(kf_bows),
+                            jnp.asarray(kf_valid))
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(c8), np.asarray(c1))
+    # and the scores are discriminative (the query's parents win)
+    order = np.argsort(-np.asarray(s8))
+    assert 17 in order[:3] or 90 in order[:3]
