@@ -122,6 +122,11 @@ def gated_top2_hamming(kp_signs, kp_uv, kp_valid, kp_octave,
 
     Returns (best_d (K,), best_i (K,) int32, second_d (K,),
     col_best_k (NC,) int32) -- identical to the scan path's per-chunk
+    merge up to argmin TIE-BREAK order: when several candidates sit at the
+    same exact Hamming distance, the compiled kernel may pick a different
+    (equally minimal) winner than the scan (verified on-chip by
+    scripts/check_pallas_tpu.py: zero distance divergences; only
+    equal-distance ties differ). Interpret mode is bit-exact vs the scan
     merge in map_ops.match_points_projection.
     """
     K = kp_signs.shape[0]
