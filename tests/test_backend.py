@@ -258,3 +258,41 @@ def test_sharded_place_recognition_matches_single_device():
     # and the scores are discriminative (the query's parents win)
     order = np.argsort(-np.asarray(s8))
     assert 17 in order[:3] or 90 in order[:3]
+
+
+def test_sharded_place_scores_drive_group_candidates():
+    """The full loop-closing consumption path: sharded scores/common-word
+    counts feed keyframe_db.group_candidates (shared-word gate + covis
+    group accumulation, KeyFrameDatabase.cc:76-199) and must produce the
+    SAME candidate list as the single-device scan -- the host-side stage
+    is agnostic to where the whole-map scan ran."""
+    from dr_slam_tpu.associate import keyframe_db
+    from dr_slam_tpu.associate.vocabulary import bow_scores
+    from dr_slam_tpu.parallel import sharded_ba, sharded_place
+
+    rng = np.random.RandomState(11)
+    NK, W = 96, 256
+    kf_bows = rng.rand(NK, W).astype(np.float32)
+    kf_bows[rng.rand(NK, W) < 0.8] = 0.0
+    kf_bows /= np.maximum(kf_bows.sum(1, keepdims=True), 1e-6)
+    kf_valid = rng.rand(NK) < 0.9
+    covis = rng.randint(0, 40, (NK, NK))
+    covis = np.triu(covis, 1) + np.triu(covis, 1).T
+    allowed = kf_valid & (np.arange(NK) < NK - 4)   # exclude a recent window
+    bow = kf_bows[40] * 0.6 + kf_bows[41] * 0.4
+
+    mesh = sharded_ba.make_mesh(8, axis="kf")
+    sharded = sharded_place.shard_keyframe_bows(
+        jnp.asarray(kf_bows), jnp.asarray(kf_valid), mesh, axis="kf")
+    s8, c8 = sharded_place.sharded_place_scores(jnp.asarray(bow), sharded,
+                                                mesh)
+    reps8 = keyframe_db.group_candidates(
+        np.asarray(s8), np.asarray(c8), covis, allowed, min_score=0.01)
+    s1 = bow_scores(jnp.asarray(bow), jnp.asarray(kf_bows),
+                    jnp.asarray(kf_valid))
+    c1 = keyframe_db.common_word_counts(
+        jnp.asarray(bow), jnp.asarray(kf_bows), jnp.asarray(kf_valid))
+    reps1 = keyframe_db.group_candidates(
+        np.asarray(s1), np.asarray(c1), covis, allowed, min_score=0.01)
+    assert reps8 == reps1 and len(reps8) > 0
+    assert 40 in reps8 or 41 in reps8
